@@ -1,0 +1,17 @@
+"""Matmul precision policy.
+
+TPU MXUs natively multiply in bfloat16; float32 matmuls/convs default to a
+single bf16 pass unless asked otherwise.  Parity with the PyTorch reference
+(which computes convs in true fp32 on CUDA/CPU) requires HIGHEST precision
+for float32 inputs.  bfloat16 inputs — the performance path — keep DEFAULT,
+which is already the native MXU mode.
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def matmul_precision(dtype) -> lax.Precision:
+    if dtype == jnp.float32 or dtype == jnp.float64:
+        return lax.Precision.HIGHEST
+    return lax.Precision.DEFAULT

@@ -1,0 +1,73 @@
+"""Resampling ops with exact ``torch.nn.functional.interpolate`` parity.
+
+- ``resize_bilinear``: bilinear, align_corners=False, NO antialiasing —
+  torch's default ``F.interpolate(mode="bilinear")`` semantics, used for
+  feature pyramids (AdaAttN/utilities.py:98-109), flow rescaling
+  (ReCoNet/train_single/train_candy.py:91-94) and decoder upsampling
+  (AdaAttN/network.py:49-60,79-99).
+- ``upsample_nearest``: torch's default ``F.interpolate(scale_factor=k)``
+  (mode="nearest"), used by ReCoNet's UpsampleConvLayer
+  (ReCoNet/network.py:101-120).
+
+TPU-first design: bilinear resize is expressed as two small dense matmuls
+(separable row/column interpolation matrices, built at trace time with static
+shapes) so it runs on the MXU and fuses with neighbouring ops, instead of the
+gather formulation a literal port would use.
+"""
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+from vst_tpu.ops._precision import matmul_precision
+
+
+@functools.lru_cache(maxsize=256)
+def _linear_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) interpolation matrix, half-pixel centers, clamped.
+
+    Row d holds the bilinear weights torch assigns source pixels for output
+    position d (align_corners=False: src = max(0, (d+0.5)*in/out - 0.5)).
+    """
+    scale = in_size / out_size
+    d = np.arange(out_size, dtype=np.float64)
+    src = (d + 0.5) * scale - 0.5
+    src = np.maximum(src, 0.0)
+    x0 = np.floor(src).astype(np.int64)
+    x0 = np.minimum(x0, in_size - 1)
+    x1 = np.minimum(x0 + 1, in_size - 1)
+    w1 = src - x0
+    w0 = 1.0 - w1
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    np.add.at(m, (d.astype(np.int64), x0), w0)
+    np.add.at(m, (d.astype(np.int64), x1), w1)
+    return m
+
+
+def resize_bilinear(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """Resize NHWC tensor to (out_h, out_w), matching torch bilinear
+    interpolate with align_corners=False and antialias=False."""
+    out_h, out_w = size
+    n, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    mh = jnp.asarray(_linear_matrix(h, out_h))
+    mw = jnp.asarray(_linear_matrix(w, out_w))
+    prec = matmul_precision(x.dtype)
+    y = jnp.einsum("ph,nhwc->npwc", mh, x,
+                   preferred_element_type=jnp.float32, precision=prec)
+    y = jnp.einsum("qw,npwc->npqc", mw, y,
+                   preferred_element_type=jnp.float32, precision=prec)
+    return y.astype(x.dtype)
+
+
+def upsample_nearest(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Nearest-neighbour integer upsampling of an NHWC tensor.
+
+    Matches torch ``F.interpolate(x, scale_factor=scale)`` (mode="nearest")
+    for integer scale factors: each pixel repeats scale× along H and W.
+    """
+    x = jnp.repeat(x, scale, axis=1)
+    x = jnp.repeat(x, scale, axis=2)
+    return x
