@@ -1,0 +1,263 @@
+"""AdaAttN arbitrary-style model (layer L2).
+
+Parity target: AdaAttN/network.py:11-251.  Parameter keys equal the torch
+``state_dict`` names of ``StylizingNetwork`` (1×1 attention convs
+"adaattn.<i>.{f,g,h}.*", decoder convs "decoder.conv<k>[...].conv[.conv].*").
+
+Attention math (AdaAttN/network.py:191-220): with Q from the IN-normalized
+multi-scale content pyramid, K from the style pyramid, V from style features,
+    A = act(QᵀK);  M = A·Vᵀ;  S = sqrt(A·V² − M²);  out = S·IN(c) + M.
+
+TPU-first design — three evaluation strategies for the same math:
+
+- ``exact``   — materializes the (n×m) attention map; used for parity tests
+  and small inputs.
+- ``chunked`` — query-blocked evaluation (never holds more than
+  (chunk × m) scores); identical numerics to ``exact`` per row.  This is the
+  memory-safe softmax path at video resolutions (8192² map ≈ 256 MB would
+  otherwise blow past VMEM/HBM budgets — SURVEY.md §7 hard part 4).
+- cosine activation is evaluated in **closed linear form**: because
+  cos+1 row-normalized attention is  a_ij = (q̂·k̂_j + 1)/(q̂·Σk̂ + m),
+  both A·V and A·V² collapse to rank-1-corrected matmuls against the
+  precomputed (d×v) moments K̂ᵀV and K̂ᵀV², making the video model's
+  attention O(n·d·v) instead of O(n²·(d+v)) — no attention matrix exists at
+  any block size.  (The reference materializes the full map:
+  AdaAttN/network.py:117-125.)
+"""
+
+import jax
+import jax.numpy as jnp
+
+from vst_tpu.models.init import conv_init, instance_norm_init
+from vst_tpu.ops import (
+    conv2d,
+    feature_down_sample,
+    instance_norm,
+    reflection_pad2d,
+    resize_bilinear,
+)
+from vst_tpu.ops._precision import matmul_precision
+
+V_DIMS = (256, 512, 512)
+QK_DIMS = (64 + 128 + 256, 64 + 128 + 256 + 512, 64 + 128 + 256 + 512 + 512)
+
+
+# ------------------------------------------------------------- conv blocks
+
+def _conv(params, name, x, k=3, stride=1):
+    """AdaAttN ``Conv``: reflection pad + conv, no norm (network.py:11-21)."""
+    x = reflection_pad2d(x, k // 2)
+    return conv2d(x, params[f"{name}.conv.weight"],
+                  params[f"{name}.conv.bias"], stride=stride)
+
+
+def _conv_relu(params, name, x):
+    """``ConvReLU`` (network.py:24-33); inner Conv adds a ``.conv`` level."""
+    return jax.nn.relu(_conv(params, f"{name}.conv", x))
+
+
+# --------------------------------------------------------------- attention
+
+def _attention_moments_softmax_exact(q, k, v, prec):
+    """A = softmax(QKᵀ); returns (A·V, A·V²).  q:(b,n,d) k:(b,m,d) v:(b,m,c)."""
+    scores = jnp.einsum("bnd,bmd->bnm", q, k,
+                        preferred_element_type=jnp.float32, precision=prec)
+    a = jax.nn.softmax(scores, axis=-1)
+    m1 = jnp.einsum("bnm,bmc->bnc", a, v,
+                    preferred_element_type=jnp.float32, precision=prec)
+    m2 = jnp.einsum("bnm,bmc->bnc", a, v * v,
+                    preferred_element_type=jnp.float32, precision=prec)
+    return m1, m2
+
+
+def _attention_moments_softmax_chunked(q, k, v, prec, chunk):
+    """Query-blocked softmax attention; bit-identical rows to exact."""
+    b, n, d = q.shape
+    pad = (-n) % chunk
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    nb = q.shape[1] // chunk
+    qb = q.reshape(b, nb, chunk, d).transpose(1, 0, 2, 3)  # (nb, b, chunk, d)
+
+    def one(qc):
+        return _attention_moments_softmax_exact(qc, k, v, prec)
+
+    m1, m2 = jax.lax.map(one, qb)
+    m1 = m1.transpose(1, 0, 2, 3).reshape(b, nb * chunk, -1)[:, :n]
+    m2 = m2.transpose(1, 0, 2, 3).reshape(b, nb * chunk, -1)[:, :n]
+    return m1, m2
+
+
+def _attention_moments_cosine_linear(q, k, v, prec):
+    """Closed-form cos+1 row-normalized attention moments (no n×m map).
+
+    a_ij = (q̂_i·k̂_j + 1) / (q̂_i·Σk̂ + m)  — reference semantics
+    (AdaAttN/network.py:111-125) with the sums re-associated.
+    """
+    b, m, d = k.shape
+    qn = q * jax.lax.rsqrt(
+        jnp.sum(jnp.square(q), axis=-1, keepdims=True))
+    kn = k * jax.lax.rsqrt(
+        jnp.sum(jnp.square(k), axis=-1, keepdims=True))
+    ksum = jnp.sum(kn, axis=1)                      # (b, d)
+    vsum = jnp.sum(v, axis=1)                       # (b, c)
+    v2sum = jnp.sum(v * v, axis=1)                  # (b, c)
+    kv = jnp.einsum("bmd,bmc->bdc", kn, v,
+                    preferred_element_type=jnp.float32, precision=prec)
+    kv2 = jnp.einsum("bmd,bmc->bdc", kn, v * v,
+                     preferred_element_type=jnp.float32, precision=prec)
+    row = jnp.einsum("bnd,bd->bn", qn, ksum,
+                     preferred_element_type=jnp.float32, precision=prec) + m
+    inv = (1.0 / row)[..., None]
+    m1 = (jnp.einsum("bnd,bdc->bnc", qn, kv,
+                     preferred_element_type=jnp.float32, precision=prec)
+          + vsum[:, None, :]) * inv
+    m2 = (jnp.einsum("bnd,bdc->bnc", qn, kv2,
+                     preferred_element_type=jnp.float32, precision=prec)
+          + v2sum[:, None, :]) * inv
+    return m1, m2
+
+
+def _attention_moments_cosine_exact(q, k, v, prec):
+    """Materialized cos+1 attention — parity oracle for the linear form."""
+    qnorm = jnp.sqrt(jnp.sum(jnp.square(q), axis=-1, keepdims=True))
+    knorm = jnp.sqrt(jnp.sum(jnp.square(k), axis=-1, keepdims=True))
+    s = jnp.einsum("bnd,bmd->bnm", q, k,
+                   preferred_element_type=jnp.float32, precision=prec)
+    s = s / (qnorm * knorm.transpose(0, 2, 1)) + 1.0
+    a = s / jnp.sum(s, axis=-1, keepdims=True)
+    m1 = jnp.einsum("bnm,bmc->bnc", a, v,
+                    preferred_element_type=jnp.float32, precision=prec)
+    m2 = jnp.einsum("bnm,bmc->bnc", a, v * v,
+                    preferred_element_type=jnp.float32, precision=prec)
+    return m1, m2
+
+
+def attention_moments(q, k, v, activation: str, mode: str = "auto",
+                      chunk: int = 1024):
+    """Dispatch on activation/mode.  Shapes: q (b,n,d), k (b,m,d), v (b,m,c)."""
+    prec = matmul_precision(q.dtype)
+    if activation == "cosine":
+        if mode == "exact":
+            return _attention_moments_cosine_exact(q, k, v, prec)
+        return _attention_moments_cosine_linear(q, k, v, prec)
+    if activation == "softmax":
+        n, m = q.shape[1], k.shape[1]
+        if mode == "exact" or (mode == "auto" and n * m <= 4096 * 4096):
+            return _attention_moments_softmax_exact(q, k, v, prec)
+        return _attention_moments_softmax_chunked(q, k, v, prec, chunk)
+    raise ValueError(f"Unknown activation: {activation}")
+
+
+def _flatten_hw(x):
+    b, h, w, c = x.shape
+    return x.reshape(b, h * w, c)
+
+
+def adaattn_module(params, name, c_x, s_x, c_1x, s_1x, activation,
+                   mode="auto"):
+    """One AdaAttN attention module (AdaAttN/network.py:174-220), NHWC.
+
+    ``name`` e.g. "adaattn.0"; pass ``name=None`` for the conv-free variant
+    (``AdaAttnNoConv``, network.py:128-171, used as the local-loss target).
+    """
+    qn = instance_norm(c_1x)
+    kn = instance_norm(s_1x)
+    if name is not None:
+        q = conv2d(qn, params[f"{name}.f.weight"], params[f"{name}.f.bias"])
+        k = conv2d(kn, params[f"{name}.g.weight"], params[f"{name}.g.bias"])
+        v = conv2d(s_x, params[f"{name}.h.weight"], params[f"{name}.h.bias"])
+    else:
+        q, k, v = qn, kn, s_x
+    b, h, w, _ = c_x.shape
+    m1, m2 = attention_moments(
+        _flatten_hw(q), _flatten_hw(k), _flatten_hw(v), activation, mode)
+    var = m2 - m1 * m1
+    s = jnp.sqrt(jnp.clip(var, min=1e-6))
+    mmap = m1.reshape(b, h, w, -1)
+    smap = s.reshape(b, h, w, -1)
+    return smap * instance_norm(c_x) + mmap
+
+
+def adaattn_no_conv(c_x, s_x, c_1x, s_1x, activation, mode="auto"):
+    return adaattn_module({}, None, c_x, s_x, c_1x, s_1x, activation, mode)
+
+
+# ----------------------------------------------------------------- decoder
+
+def decoder(params, x5, x4, x3):
+    """AdaAttN Decoder (network.py:63-99).  Inputs are the three attention
+    outputs at relu5_1/4_1/3_1 scales (NHWC)."""
+    x = resize_bilinear(x5, (x5.shape[1] * 2, x5.shape[2] * 2))
+    x = x + x4
+    x = _conv_relu(params, "decoder.conv1", x)
+    x = _conv_relu(params, "decoder.conv2", x)
+    x = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2))
+    x = jnp.concatenate([x, x3], axis=-1)
+    for i in range(3):
+        x = _conv_relu(params, f"decoder.conv3.{i}", x)
+    x = _conv_relu(params, "decoder.conv4", x)
+    x = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2))
+    x = _conv_relu(params, "decoder.conv5", x)
+    x = _conv_relu(params, "decoder.conv6", x)
+    x = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2))
+    x = _conv_relu(params, "decoder.conv7", x)
+    x = _conv(params, "decoder.conv8", x)
+    return x
+
+
+# ------------------------------------------------------------- full model
+
+def stylizing_network(params, fc: dict, fs: dict, activation="softmax",
+                      mode="auto"):
+    """Full AdaAttN stylizer (network.py:223-251).
+
+    fc/fs: ordered VGG19 tap dicts from
+    ``vst_tpu.models.vgg.vgg19_adaattn_features``.
+    """
+    fcl = list(fc.values())
+    fsl = list(fs.values())
+    outs = []
+    for i in range(3):
+        idx = i + 2
+        c_1x = feature_down_sample(fcl, idx)
+        s_1x = feature_down_sample(fsl, idx)
+        outs.append(
+            adaattn_module(params, f"adaattn.{i}", fcl[idx], fsl[idx],
+                           c_1x, s_1x, activation, mode))
+    return decoder(params, outs[2], outs[1], outs[0])
+
+
+# ---------------------------------------------------------------- init
+
+def _conv_p(key, name, cin, cout, k):
+    w, b = conv_init(key, k, cin, cout)
+    return {f"{name}.weight": w, f"{name}.bias": b}
+
+
+def init_stylizing_network(key):
+    params = {}
+    for i in range(3):
+        for tag, cin, cout in (
+            ("f", QK_DIMS[i], QK_DIMS[i]),
+            ("g", QK_DIMS[i], QK_DIMS[i]),
+            ("h", V_DIMS[i], V_DIMS[i]),
+        ):
+            key, sub = jax.random.split(key)
+            params.update(_conv_p(sub, f"adaattn.{i}.{tag}", cin, cout, 1))
+    dec = [
+        ("decoder.conv1.conv.conv", 512, 512),
+        ("decoder.conv2.conv.conv", 512, 256),
+        ("decoder.conv3.0.conv.conv", 512, 256),
+        ("decoder.conv3.1.conv.conv", 256, 256),
+        ("decoder.conv3.2.conv.conv", 256, 256),
+        ("decoder.conv4.conv.conv", 256, 128),
+        ("decoder.conv5.conv.conv", 128, 128),
+        ("decoder.conv6.conv.conv", 128, 64),
+        ("decoder.conv7.conv.conv", 64, 64),
+        ("decoder.conv8.conv", 64, 3),
+    ]
+    for name, cin, cout in dec:
+        key, sub = jax.random.split(key)
+        params.update(_conv_p(sub, name, cin, cout, 3))
+    return params
