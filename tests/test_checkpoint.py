@@ -1,0 +1,97 @@
+"""Checkpoint round-trips, including REAL reference .pth interop.
+
+The reference's committed distilled checkpoints
+(ReCoNet/models_old/SD{1,2}_epoch_4_batchSize_2.pth) are loaded through the
+compat layer and verified: key/shape sets match our SD models exactly and
+the JAX forward agrees with the functional-torch oracle running the same
+weights — the north-star "existing checkpoints work unchanged" requirement.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from vst_tpu.compat import jax_to_torch_arrays
+from vst_tpu.models import reconet
+from vst_tpu.train import checkpoint as ckpt
+from vst_tpu.train.state import create, make_optimizer
+from tests import torch_refs as tr
+
+KEY = jax.random.PRNGKey(7)
+
+REF = "/root/reference/Real-time-Coherent-Video-Style-Transfer-Network-(ReCoNet)"
+SD1_PTH = f"{REF}/models_old/SD1_epoch_4_batchSize_2.pth"
+SD2_PTH = f"{REF}/models_old/SD2_epoch_4_batchSize_2.pth"
+
+
+class TestRoundTrips:
+    def test_params_npz(self, tmp_path):
+        params = reconet.init_reconet_sd2(KEY)
+        path = str(tmp_path / "p.npz")
+        ckpt.save_params(params, path)
+        loaded = ckpt.load_params(path)
+        assert set(loaded) == set(params)
+        for k in params:
+            np.testing.assert_array_equal(np.asarray(loaded[k]),
+                                          np.asarray(params[k]))
+
+    def test_full_state(self, tmp_path):
+        opt = make_optimizer(1e-3)
+        state = create(reconet.init_reconet_sd2(KEY), opt)
+        path = str(tmp_path / "state.pkl")
+        ckpt.save_state(state, path)
+        loaded = ckpt.load_state(path)
+        assert int(loaded.step) == int(state.step)
+        for k in state.params:
+            np.testing.assert_array_equal(np.asarray(loaded.params[k]),
+                                          np.asarray(state.params[k]))
+
+    def test_pth_round_trip(self, tmp_path):
+        params = reconet.init_reconet(KEY)
+        path = str(tmp_path / "m.pth")
+        ckpt.export_pth(params, path)
+        back = ckpt.import_pth(path, strict_keys=set(params))
+        for k in params:
+            np.testing.assert_allclose(np.asarray(back[k]),
+                                       np.asarray(params[k]), rtol=0, atol=0)
+
+    def test_partial_init(self):
+        student = reconet.init_reconet_sd1(KEY)
+        donor = reconet.init_reconet(jax.random.PRNGKey(9))
+        merged = ckpt.partial_init_from(student, donor)
+        # conv2/deconv2 shapes differ between ReCoNet and SD1 → untouched;
+        # deconv3 (ConvTanh head) differs in input channels (48 vs 32).
+        assert set(merged) == set(student)
+
+
+@pytest.mark.skipif(not os.path.exists(SD1_PTH),
+                    reason="reference checkpoints unavailable")
+class TestReferenceCheckpoints:
+    @pytest.mark.parametrize(
+        "path,init,apply,t_apply",
+        [
+            (SD1_PTH, reconet.init_reconet_sd1, reconet.reconet_sd1,
+             tr.t_reconet_sd1),
+            (SD2_PTH, reconet.init_reconet_sd2, reconet.reconet_sd2,
+             tr.t_reconet_sd2),
+        ],
+    )
+    def test_load_and_forward(self, rng, path, init, apply, t_apply):
+        expected = init(KEY)
+        params = ckpt.import_pth(path, strict_keys=set(expected))
+        for k in expected:
+            assert tuple(params[k].shape) == tuple(expected[k].shape), k
+
+        x = (rng.random((1, 48, 64, 3)) * 255).astype(np.float32)
+        ours = apply(params, jnp.asarray(x))[-1]
+        t_state = {k: torch.from_numpy(np.ascontiguousarray(v))
+                   for k, v in jax_to_torch_arrays(params).items()}
+        ref = t_apply(t_state, torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))))[-1]
+        np.testing.assert_allclose(
+            np.asarray(ours), ref.detach().numpy().transpose(0, 2, 3, 1),
+            rtol=2e-3, atol=2e-2)

@@ -1,0 +1,301 @@
+"""Jitted train steps for every trainer family in the reference suite.
+
+Each ``make_*_step`` closes over frozen inputs (VGG params, style grams,
+teacher params, config scalars) and returns a jitted function
+``step(state, batch) -> (state, metrics)`` with the state buffers donated.
+Loss compositions mirror the reference scripts exactly (citations inline).
+
+Data parallelism: the steps are sharding-agnostic pure functions; the
+parallel layer (vst_tpu.parallel) shards the batch across a mesh's "data"
+axis and replicates params — XLA inserts the gradient all-reduce over ICI.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vst_tpu import losses
+from vst_tpu.models import adaattn as adaattn_m
+from vst_tpu.models import reconet as reconet_m
+from vst_tpu.models import rtnstv as rtnstv_m
+from vst_tpu.models import vgg as vgg_m
+from vst_tpu.ops import feature_down_sample, gram_matrix, gram_matrix_hw, vgg_normalize
+from vst_tpu.train.state import TrainState, apply_gradients
+
+RECONET_FORWARD = {
+    "reconet": reconet_m.reconet,
+    "sd1": reconet_m.reconet_sd1,
+    "sd2": reconet_m.reconet_sd2,
+}
+
+
+# ------------------------------------------------------- style precompute
+
+def reconet_style_grams(vgg_params, style_255):
+    """Per-tap (1, C, C) grams of the style image, /(C·H·W) normalization
+    (ReCoNet/train_single/train_candy.py:55-56)."""
+    feats = vgg_m.vgg16_features(vgg_params, vgg_normalize(style_255))
+    return [gram_matrix(f) for f in feats.values()]
+
+
+def rtnstv_style_grams(vgg_params, style_255):
+    """Per-tap grams with /(H·W) normalization (RTNSTV/train.py:91-93)."""
+    feats = vgg_m.vgg19_rtnstv_features(vgg_params, style_255)
+    return [gram_matrix_hw(f) for f in feats.values()]
+
+
+# ------------------------------------------------------------ ReCoNet flow
+
+def _reconet_losses(cfg, vgg_params, style_grams, outs1, outs2,
+                    img1, img2, flow, mask):
+    """Shared candy-style loss block (train_candy.py:77-148).
+
+    outs1/outs2: (feature_map, styled) pairs from the stylizer.
+    img1/img2: raw 0–255 inputs (full multi-frame channel stack).
+    """
+    feature_map1, styled_img1 = outs1
+    feature_map2, styled_img2 = outs2
+
+    # warp index: last frame's RGB channels (train_candy.py:59-61)
+    idx = (cfg.input_frame_num - 1) * 3
+    s1n = vgg_normalize(styled_img1)
+    s2n = vgg_normalize(styled_img2)
+    i1n = vgg_normalize(img1[..., idx:idx + 3])
+    i2n = vgg_normalize(img2[..., idx:idx + 3])
+
+    sf1 = list(vgg_m.vgg16_features(vgg_params, s1n).values())
+    sf2 = list(vgg_m.vgg16_features(vgg_params, s2n).values())
+    cf1 = list(vgg_m.vgg16_features(vgg_params, i1n).values())
+    cf2 = list(vgg_m.vgg16_features(vgg_params, i2n).values())
+
+    metrics = {}
+    total = 0.0
+
+    if getattr(cfg, "use_ftl", True):
+        ftl = losses.reconet_feature_temporal_loss(
+            feature_map1, feature_map2, flow, mask) * cfg.lambda_f
+        total = total + ftl
+        metrics["FTL"] = ftl
+
+    otl = losses.reconet_output_temporal_loss(
+        i1n, i2n, s1n, s2n, flow, mask) * cfg.lambda_o
+    content = (losses.reconet_content_loss(sf1, cf1)
+               + losses.reconet_content_loss(sf2, cf2)) * cfg.alpha
+    style = (losses.reconet_style_loss(sf1, style_grams)
+             + losses.reconet_style_loss(sf2, style_grams)) * cfg.beta
+    # NOTE: the reference computes TV on the vgg-NORMALIZED styled images
+    # (styled_img is reassigned at train_candy.py:82 before the reg block
+    # at :140-145) — reproduced deliberately.
+    reg = (losses.reconet_reg_loss(s1n) + losses.reconet_reg_loss(s2n)) * cfg.gamma
+
+    total = total + otl + content + style + reg
+    metrics.update(OTL=otl, CL=content, SL=style, RL=reg, loss=total)
+    return total, metrics
+
+
+def make_reconet_flow_step(cfg, vgg_params, style_grams, optimizer):
+    """ReCoNet single/multi-frame flow trainer (train_candy.py:32-170)."""
+
+    def loss_fn(params, img1, img2, flow, mask):
+        _, fmap1, styled1 = reconet_m.reconet(params, img1)
+        _, fmap2, styled2 = reconet_m.reconet(params, img2)
+        return _reconet_losses(cfg, vgg_params, style_grams,
+                               (fmap1, styled1), (fmap2, styled2),
+                               img1, img2, flow, mask)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        img1, img2, flow, mask = batch
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, img1, img2, flow, mask)
+        return apply_gradients(state, grads, optimizer), metrics
+
+    return step
+
+
+def make_reconet_coco_step(cfg, vgg_params, style_grams, optimizer):
+    """Image-only content+style trainer (train_coco2014.py:28-105)."""
+
+    def loss_fn(params, img):
+        *_, styled = reconet_m.reconet(params, img)
+        sn = vgg_normalize(styled)
+        inorm = vgg_normalize(img)
+        sf = list(vgg_m.vgg16_features(vgg_params, sn).values())
+        cf = list(vgg_m.vgg16_features(vgg_params, inorm).values())
+        content = losses.reconet_content_loss(sf, cf) * cfg.alpha
+        style = losses.reconet_style_loss(sf, style_grams) * cfg.beta
+        total = content + style
+        return total, {"CL": content, "SL": style, "loss": total}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, img):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, img)
+        return apply_gradients(state, grads, optimizer), metrics
+
+    return step
+
+
+def make_reconet_distill_step(cfg, vgg_params, style_grams, teacher_params,
+                              optimizer):
+    """SD1/SD2 distillation trainer (train_Flow_SD1.py:33-185).
+
+    The teacher runs under stop_gradient; the symmetric distillation loss is
+    logged (scaled by sd_weight_scale·beta) and excluded from the total
+    unless ``cfg.include_sd_in_total``.  When the reference's tap pairing is
+    shape-incompatible (SD1 stage: 96-ch teacher deconv1 tap vs 64-ch
+    student tap — see config.py), the SD term is reported as NaN.
+    """
+    teacher_fwd = RECONET_FORWARD[cfg.teacher]
+    student_fwd = RECONET_FORWARD[cfg.student]
+
+    def loss_fn(params, img1, img2, flow, mask):
+        t1 = teacher_fwd(teacher_params, img1)
+        t2 = teacher_fwd(teacher_params, img2)
+        s1 = student_fwd(params, img1)
+        s2 = student_fwd(params, img2)
+        feat_t1 = jax.lax.stop_gradient(t1[cfg.teacher_tap])
+        feat_t2 = jax.lax.stop_gradient(t2[cfg.teacher_tap])
+        feat_s1 = s1[cfg.student_tap]
+        feat_s2 = s2[cfg.student_tap]
+
+        total, metrics = _reconet_losses(
+            cfg, vgg_params, style_grams,
+            (s1[-2], s1[-1]), (s2[-2], s2[-1]),
+            img1, img2, flow, mask)
+
+        if feat_t1.shape == feat_s1.shape:
+            sd = (losses.mse(feat_t1, feat_s1) + losses.mse(feat_t2, feat_s2))
+            sd = sd * (cfg.sd_weight_scale * cfg.beta)
+            if cfg.include_sd_in_total:
+                total = total + sd
+                metrics["loss"] = total
+        else:
+            sd = jnp.nan
+        metrics["SDL"] = sd
+        return total, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        img1, img2, flow, mask = batch
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, img1, img2, flow, mask)
+        return apply_gradients(state, grads, optimizer), metrics
+
+    return step
+
+
+# ----------------------------------------------------------------- RTNSTV
+
+def make_rtnstv_step(cfg, vgg_params, style_grams, optimizer):
+    """RTNSTV trainer (RTNSTV/train.py:63-158)."""
+
+    def loss_fn(params, img1, img2, flow, mask):
+        styled1 = rtnstv_m.stylizing_network(params, img1)
+        styled2 = rtnstv_m.stylizing_network(params, img2)
+        cf1 = vgg_m.vgg19_rtnstv_features(vgg_params, img1)
+        sf1 = vgg_m.vgg19_rtnstv_features(vgg_params, styled1)
+        cf2 = vgg_m.vgg19_rtnstv_features(vgg_params, img2)
+        sf2 = vgg_m.vgg19_rtnstv_features(vgg_params, styled2)
+        cl1, sl1, rl1 = losses.rtnstv_spatial_loss(
+            cf1, sf1, style_grams, styled1, cfg.alpha, cfg.beta, cfg.gamma)
+        cl2, sl2, rl2 = losses.rtnstv_spatial_loss(
+            cf2, sf2, style_grams, styled2, cfg.alpha, cfg.beta, cfg.gamma)
+        tl = losses.rtnstv_temporal_loss(styled1, styled2, flow, mask) * cfg.lam
+        content, style, reg = cl1 + cl2, sl1 + sl2, rl1 + rl2
+        total = content + style + reg + tl
+        return total, {"CL": content, "SL": style, "RL": reg, "TL": tl,
+                       "loss": total}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        img1, img2, flow, mask = batch
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, img1, img2, flow, mask)
+        return apply_gradients(state, grads, optimizer), metrics
+
+    return step
+
+
+# ----------------------------------------------------------------- AdaAttN
+
+def _adaattn_gs_lf(cfg, params, vgg_params, fc, fs, cs):
+    """Global-stylized + local-feature losses (train_image.py:84-106)."""
+    fcs = vgg_m.vgg19_adaattn_features(vgg_params, cs)
+    loss_gs = 0.0
+    for tap in ("relu2_1", "relu3_1", "relu4_1", "relu5_1"):
+        loss_gs = loss_gs + losses.global_stylized_loss(fcs[tap], fs[tap])
+    loss_gs = loss_gs * cfg.lambda_g
+
+    fcl = list(fc.values())
+    fsl = list(fs.values())
+    loss_lf = 0.0
+    for i in range(3):
+        idx = i + 2
+        c_1x = feature_down_sample(fcl, idx)
+        s_1x = feature_down_sample(fsl, idx)
+        target = adaattn_m.adaattn_no_conv(
+            fcl[idx], fsl[idx], c_1x, s_1x, cfg.activation)
+        loss_lf = loss_lf + losses.local_feature_loss(
+            fcs[f"relu{i + 3}_1"], target)
+    loss_lf = loss_lf * cfg.lambda_l
+    return fcs, loss_gs, loss_lf
+
+
+def make_adaattn_image_step(cfg, vgg_params, optimizer):
+    """AdaAttN image-mode trainer (AdaAttN/train_image.py:25-125)."""
+
+    def loss_fn(params, content, style):
+        fc = vgg_m.vgg19_adaattn_features(vgg_params, content)
+        fs = vgg_m.vgg19_adaattn_features(vgg_params, style)
+        cs = adaattn_m.stylizing_network(params, fc, fs, cfg.activation)
+        _, loss_gs, loss_lf = _adaattn_gs_lf(cfg, params, vgg_params, fc, fs, cs)
+        total = loss_gs + loss_lf
+        return total, {"loss_gs": loss_gs, "loss_lf": loss_lf, "loss": total}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        content, style = batch
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, content, style)
+        return apply_gradients(state, grads, optimizer), metrics
+
+    return step
+
+
+def make_adaattn_video_step(cfg, vgg_params, optimizer):
+    """AdaAttN video-mode trainer (AdaAttN/train_video.py:26-138).
+
+    Global/local losses on frame 1 only; image-similarity loss across the
+    consecutive-frame pair on relu2_1/3_1/4_1 (:110-115).
+    """
+
+    def loss_fn(params, content1, content2, style):
+        fc1 = vgg_m.vgg19_adaattn_features(vgg_params, content1)
+        fc2 = vgg_m.vgg19_adaattn_features(vgg_params, content2)
+        fs = vgg_m.vgg19_adaattn_features(vgg_params, style)
+        cs1 = adaattn_m.stylizing_network(params, fc1, fs, cfg.activation)
+        cs2 = adaattn_m.stylizing_network(params, fc2, fs, cfg.activation)
+        fcs1, loss_gs, loss_lf = _adaattn_gs_lf(
+            cfg, params, vgg_params, fc1, fs, cs1)
+        fcs2 = vgg_m.vgg19_adaattn_features(vgg_params, cs2)
+
+        loss_is = 0.0
+        for tap in ("relu2_1", "relu3_1", "relu4_1"):
+            loss_is = loss_is + losses.image_similarity_loss(
+                fc1[tap], fc2[tap], fcs1[tap], fcs2[tap])
+        loss_is = loss_is * cfg.lambda_is
+
+        total = loss_gs + loss_lf + loss_is
+        return total, {"loss_gs": loss_gs, "loss_lf": loss_lf,
+                       "loss_is": loss_is, "loss": total}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        content1, content2, style = batch
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, content1, content2, style)
+        return apply_gradients(state, grads, optimizer), metrics
+
+    return step
