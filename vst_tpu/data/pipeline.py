@@ -1,0 +1,86 @@
+"""Host→device data pipeline: threaded loading + double-buffered prefetch.
+
+Replaces the reference's ``DataLoader(num_workers=4, prefetch_factor=2)``
+(e.g. ReCoNet/train_single/train_candy.py:34-40) with:
+
+- ``BatchLoader`` — shuffling batcher over any indexable dataset, with a
+  thread pool for sample loading (I/O-bound PIL/numpy work releases the
+  GIL).
+- ``device_prefetch`` — keeps N batches in flight on device
+  (``jax.device_put`` is async), so the accelerator never waits on host
+  decode — the double-buffering scheme from SURVEY.md §7 step 6.
+"""
+
+import collections
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+class BatchLoader:
+    """Iterate minibatches of stacked numpy arrays over an epoch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, num_workers: int = 4, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        n_batches = len(self)
+        pool = ThreadPoolExecutor(self.num_workers) if self.num_workers else None
+        try:
+            for b in range(n_batches):
+                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                if pool is not None:
+                    samples = list(pool.map(self.dataset.__getitem__, idxs))
+                else:
+                    samples = [self.dataset[i] for i in idxs]
+                if isinstance(samples[0], tuple):
+                    yield tuple(np.stack(parts) for parts in zip(*samples))
+                else:
+                    yield np.stack(samples)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Wrap a host batch iterator, keeping ``size`` batches resident on
+    device ahead of consumption.
+
+    ``sharding``: optional ``jax.sharding.Sharding`` (e.g. a batch-sharded
+    NamedSharding for data-parallel training); default places on the default
+    device.
+    """
+    import jax
+
+    def put(batch):
+        if sharding is None:
+            return jax.tree.map(jax.device_put, batch)
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    queue = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
