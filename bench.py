@@ -28,9 +28,8 @@ def main():
 
     from vst_tpu.models import reconet
 
-    key = jax.random.PRNGKey(0)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
-                          reconet.init_reconet(key))
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16),
+                          reconet.init_reconet(0))
 
     batch = 8
     h = w = 512

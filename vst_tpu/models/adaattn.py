@@ -28,7 +28,7 @@ TPU-first design — three evaluation strategies for the same math:
 import jax
 import jax.numpy as jnp
 
-from vst_tpu.models.init import conv_init, instance_norm_init
+from vst_tpu.models.init import as_rng, conv_init, instance_norm_init
 from vst_tpu.ops import (
     conv2d,
     feature_down_sample,
@@ -236,6 +236,7 @@ def _conv_p(key, name, cin, cout, k):
 
 
 def init_stylizing_network(key):
+    rng = as_rng(key)
     params = {}
     for i in range(3):
         for tag, cin, cout in (
@@ -243,8 +244,7 @@ def init_stylizing_network(key):
             ("g", QK_DIMS[i], QK_DIMS[i]),
             ("h", V_DIMS[i], V_DIMS[i]),
         ):
-            key, sub = jax.random.split(key)
-            params.update(_conv_p(sub, f"adaattn.{i}.{tag}", cin, cout, 1))
+            params.update(_conv_p(rng, f"adaattn.{i}.{tag}", cin, cout, 1))
     dec = [
         ("decoder.conv1.conv.conv", 512, 512),
         ("decoder.conv2.conv.conv", 512, 256),
@@ -258,6 +258,5 @@ def init_stylizing_network(key):
         ("decoder.conv8.conv", 64, 3),
     ]
     for name, cin, cout in dec:
-        key, sub = jax.random.split(key)
-        params.update(_conv_p(sub, name, cin, cout, 3))
+        params.update(_conv_p(rng, name, cin, cout, 3))
     return params

@@ -22,7 +22,7 @@ input, ReCoNet/train_multiple/train_Flow.py:22).
 import jax
 import jax.numpy as jnp
 
-from vst_tpu.models.init import conv_init, instance_norm_init
+from vst_tpu.models.init import as_rng, conv_init, instance_norm_init
 from vst_tpu.ops import (
     conv2d,
     instance_norm,
@@ -83,10 +83,9 @@ def _conv_block(key, name, in_ch, out_ch, k, with_norm=True):
     return p
 
 
-def _res_block(key, name, ch, k=3):
-    k1, k2 = jax.random.split(key)
-    w1, b1 = conv_init(k1, k, ch, ch)
-    w2, b2 = conv_init(k2, k, ch, ch)
+def _res_block(rng, name, ch, k=3):
+    w1, b1 = conv_init(rng, k, ch, ch)
+    w2, b2 = conv_init(rng, k, ch, ch)
     s1, sb1 = instance_norm_init(ch)
     s2, sb2 = instance_norm_init(ch)
     return {
@@ -99,15 +98,15 @@ def _res_block(key, name, ch, k=3):
 
 def _build(key, spec):
     """spec: list of ("conv"|"res"|"convtanh", name, in, out, k)."""
+    rng = as_rng(key)
     params = {}
     for kind, name, cin, cout, k in spec:
-        key, sub = jax.random.split(key)
         if kind == "res":
-            params.update(_res_block(sub, name, cout, k))
+            params.update(_res_block(rng, name, cout, k))
         elif kind == "convtanh":
-            params.update(_conv_block(sub, name, cin, cout, k, with_norm=False))
+            params.update(_conv_block(rng, name, cin, cout, k, with_norm=False))
         else:
-            params.update(_conv_block(sub, name, cin, cout, k))
+            params.update(_conv_block(rng, name, cin, cout, k))
     return params
 
 

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from vst_tpu.models.init import (
+    as_rng,
     conv_init,
     conv_transpose_init,
     instance_norm_init,
@@ -78,22 +79,17 @@ def _deconv_params(key, name, cin, cout, k=3):
 
 
 def init_stylizing_network(key):
+    rng = as_rng(key)
     params = {}
-    specs = [("conv1", 3, 16), ("conv2", 16, 32), ("conv3", 32, 48)]
-    for name, cin, cout in specs:
-        key, sub = jax.random.split(key)
-        params.update(_conv_params(sub, name, cin, cout, 3))
+    for name, cin, cout in [("conv1", 3, 16), ("conv2", 16, 32),
+                            ("conv3", 32, 48)]:
+        params.update(_conv_params(rng, name, cin, cout, 3))
     for i in range(1, 6):
-        key, k1 = jax.random.split(key)
-        k1a, k1b = jax.random.split(k1)
-        params.update(_conv_params(k1a, f"res{i}.conv1", 48, 48, 3))
-        params.update(_conv_params(k1b, f"res{i}.conv2", 48, 48, 3))
-    key, d1 = jax.random.split(key)
-    params.update(_deconv_params(d1, "deconv1", 48, 32))
-    key, d2 = jax.random.split(key)
-    params.update(_deconv_params(d2, "deconv2", 32, 16))
-    key, c4 = jax.random.split(key)
-    params.update(_conv_params(c4, "conv4", 16, 3, 3))
+        params.update(_conv_params(rng, f"res{i}.conv1", 48, 48, 3))
+        params.update(_conv_params(rng, f"res{i}.conv2", 48, 48, 3))
+    params.update(_deconv_params(rng, "deconv1", 48, 32))
+    params.update(_deconv_params(rng, "deconv2", 32, 16))
+    params.update(_conv_params(rng, "conv4", 16, 3, 3))
     return params
 
 

@@ -21,7 +21,7 @@ XLA fusion region per tap; there is no Python-side control flow.
 import jax
 import jax.numpy as jnp
 
-from vst_tpu.models.init import conv_init
+from vst_tpu.models.init import as_rng, conv_init
 from vst_tpu.ops import conv2d, max_pool2d, vgg_normalize
 
 # torchvision VGG "features" layouts: channel counts, "M" = MaxPool2d(2,2).
@@ -55,15 +55,15 @@ def _layer_table(cfg):
     return table
 
 
-def init_params(key, cfg, max_index: int, dtype=jnp.float32):
+def init_params(key, cfg, max_index: int, dtype="float32"):
     """Random (torch-default-distribution) VGG params up to features index."""
+    rng = as_rng(key)
     params = {}
     for idx, kind, in_ch, out_ch in _layer_table(cfg):
         if idx > max_index:
             break
         if kind == "conv":
-            key, sub = jax.random.split(key)
-            w, b = conv_init(sub, 3, in_ch, out_ch, dtype)
+            w, b = conv_init(rng, 3, in_ch, out_ch, dtype)
             params[f"features.{idx}.weight"] = w
             params[f"features.{idx}.bias"] = b
     return params
@@ -108,13 +108,13 @@ def vgg19_adaattn_features(params, x):
     return _run(params, vgg_normalize(x), VGG19_CFG, VGG19_TAPS_ADAATTN)
 
 
-def init_vgg16_reconet(key, dtype=jnp.float32):
+def init_vgg16_reconet(key, dtype="float32"):
     return init_params(key, VGG16_CFG, max(VGG16_TAPS_RECONET.values()), dtype)
 
 
-def init_vgg19_rtnstv(key, dtype=jnp.float32):
+def init_vgg19_rtnstv(key, dtype="float32"):
     return init_params(key, VGG19_CFG, max(VGG19_TAPS_RTNSTV.values()), dtype)
 
 
-def init_vgg19_adaattn(key, dtype=jnp.float32):
+def init_vgg19_adaattn(key, dtype="float32"):
     return init_params(key, VGG19_CFG, max(VGG19_TAPS_ADAATTN.values()), dtype)
