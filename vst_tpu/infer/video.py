@@ -1,0 +1,176 @@
+"""Streaming video stylization.
+
+Parity targets: the ReCoNet ``Inference`` iterator
+(ReCoNet/utilities.py:179-236 — sliding window of ``input_frame_num``
+channel-concatenated frames, clamp, BGR uint8 out) and the AdaAttN video
+loop (AdaAttN/infer_video.py:30-88 — style features precomputed once).
+
+TPU-first changes vs the reference's per-frame host↔device round trip:
+- frames are batched (``batch_size`` windows stylized per device call);
+- host decode runs in a reader thread feeding a bounded queue;
+- ``jax.device_put`` is async, double-buffering transfers against compute.
+
+Frame sources are any iterator of HWC RGB uint8/float arrays;
+``frames_from_video`` adapts a video file via cv2 when available.
+"""
+
+import collections
+from queue import Queue
+from threading import Thread
+
+import numpy as np
+
+
+def frames_from_video(path, resize_wh=None, interpolation="linear"):
+    """Yield HWC RGB float32 frames from a video file (requires cv2).
+
+    interpolation: "linear" (ReCoNet cvframe_to_tensor,
+    ReCoNet/utilities.py:119-123) or "area" (AdaAttN cv2_to_tensor,
+    AdaAttN/utilities.py:46-55).
+    """
+    import cv2
+
+    interp = {"linear": cv2.INTER_LINEAR, "area": cv2.INTER_AREA}[interpolation]
+    cap = cv2.VideoCapture(path)
+    try:
+        while True:
+            ret, frame = cap.read()
+            if not ret:
+                return
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if resize_wh is not None and frame.shape[1::-1] != tuple(resize_wh):
+                frame = cv2.resize(frame, tuple(resize_wh), interpolation=interp)
+            yield frame.astype(np.float32)
+    finally:
+        cap.release()
+
+
+def video_fps(path) -> float:
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    cap.release()
+    return fps
+
+
+def _reader(frames, queue):
+    for f in frames:
+        queue.put(f)
+    queue.put(None)
+
+
+class StreamingStylizer:
+    """Batched sliding-window streaming stylizer.
+
+    ``model_fn(batch) -> styled`` maps (B, H, W, 3·input_frame_num) 0–255
+    windows to (B, H, W, 3) clamped 0–255 frames (e.g. a jitted
+    ``stylize_reconet``/``stylize_rtnstv`` closure).
+
+    ``first_frame``: skip initial frames so output starts at that index
+    (ReCoNet/utilities.py:193-201 semantics).
+    """
+
+    def __init__(self, model_fn, frames, input_frame_num: int = 1,
+                 batch_size: int = 4, first_frame: int | None = None,
+                 output: str = "rgb_uint8"):
+        self.model_fn = model_fn
+        self.frames = iter(frames)
+        self.input_frame_num = input_frame_num
+        self.batch_size = batch_size
+        self.output = output
+        if first_frame is None or first_frame < input_frame_num:
+            first_frame = input_frame_num
+        self.skip = first_frame - input_frame_num
+
+    def __iter__(self):
+        queue = Queue(maxsize=2 * self.batch_size + 4)
+        Thread(target=_reader, args=(self.frames, queue), daemon=True).start()
+
+        for _ in range(self.skip):
+            if queue.get() is None:
+                return
+
+        window = collections.deque(maxlen=self.input_frame_num)
+        for _ in range(self.input_frame_num):
+            frame = queue.get()
+            if frame is None:
+                return
+            window.append(frame)
+
+        done = False
+        while not done:
+            batch = [np.concatenate(list(window), axis=-1)]
+            while len(batch) < self.batch_size:
+                frame = queue.get()
+                if frame is None:
+                    done = True
+                    break
+                window.append(frame)
+                batch.append(np.concatenate(list(window), axis=-1))
+            styled = np.asarray(self.model_fn(np.stack(batch)))
+            for out in styled:
+                yield self._convert(out)
+            if not done:
+                frame = queue.get()
+                if frame is None:
+                    done = True
+                else:
+                    window.append(frame)
+
+    def _convert(self, frame):
+        if self.output == "rgb_uint8":
+            return frame.astype(np.uint8)
+        if self.output == "bgr_uint8":
+            return frame.astype(np.uint8)[..., ::-1]
+        return frame
+
+
+class AdaAttNVideoStylizer:
+    """Arbitrary-style streaming stylizer: style features encoded ONCE, each
+    content frame encoded + stylized (AdaAttN/infer_video.py:40-64)."""
+
+    def __init__(self, vgg_params, params, style_255, activation="cosine",
+                 batch_size: int = 2):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from vst_tpu.models import adaattn as adaattn_m
+        from vst_tpu.models import vgg as vgg_m
+
+        self.batch_size = batch_size
+        fs_single = jax.jit(vgg_m.vgg19_adaattn_features)(vgg_params, style_255)
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def run(vgg_params, params, content, fs_single, n):
+            fc = vgg_m.vgg19_adaattn_features(vgg_params, content)
+            fs = {k: jnp.broadcast_to(v, (n,) + v.shape[1:])
+                  for k, v in fs_single.items()}
+            cs = adaattn_m.stylizing_network(params, fc, fs, activation)
+            return jnp.clip(cs, 0, 255)
+
+        self._run = lambda content: run(vgg_params, params, content,
+                                        fs_single, content.shape[0])
+
+    def stylize_frames(self, frames):
+        """frames: iterator of HWC RGB float 0–255 → RGB uint8 frames."""
+        batch = []
+        for frame in frames:
+            batch.append(frame)
+            if len(batch) == self.batch_size:
+                out = np.asarray(self._run(np.stack(batch)))
+                yield from out.astype(np.uint8)
+                batch = []
+        if batch:
+            out = np.asarray(self._run(np.stack(batch)))
+            yield from out.astype(np.uint8)
+
+
+def write_video(path, frames, fps: float = 30.0):
+    """Encode RGB uint8 frames to a video file (imageio, AdaAttN
+    infer_video.py:79-88)."""
+    import imageio
+
+    imageio.mimsave(path, list(frames), fps=fps)
