@@ -136,9 +136,12 @@ class TestTemporalMetrics:
         cs2 = jnp.asarray((rng.random((1, 8, 8, 3)) * 255).astype(np.float32))
         flow = jnp.zeros((1, 8, 8, 2), jnp.float32)
         mask = jnp.ones((1, 8, 8), jnp.float32)
+        from vst_tpu.data.flow_np import warp_np
+
         loss = float(warping_error_step(cs1, cs2, flow, mask))
-        ref = float(np.sum((np.asarray(cs2) - np.asarray(cs1)) ** 2) / (3 * 8 * 8))
-        np.testing.assert_allclose(loss, ref, rtol=1e-5)
+        warped = warp_np(np.asarray(cs1)[0], np.asarray(flow)[0])
+        ref = float(np.sum((np.asarray(cs2)[0] - warped) ** 2) / (3 * 8 * 8))
+        np.testing.assert_allclose(loss, ref, rtol=1e-4)
 
 
 class TestLPIPS:
