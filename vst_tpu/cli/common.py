@@ -1,0 +1,47 @@
+"""Shared CLI helpers: weight loading, image I/O."""
+
+import numpy as np
+
+
+def load_image_255(path, size_wh=None):
+    from vst_tpu.data.datasets import load_image
+
+    return load_image(path, size_wh)
+
+
+def save_image_255(arr, path):
+    from PIL import Image
+
+    Image.fromarray(np.clip(np.asarray(arr), 0, 255).astype(np.uint8)).save(path)
+
+
+def load_weights(path: str) -> dict:
+    """Load params from .npz (native) or .pth (reference/torchvision)."""
+    if path.endswith(".npz"):
+        from vst_tpu.train.checkpoint import load_params
+
+        return load_params(path)
+    if path.endswith((".pth", ".pt")):
+        from vst_tpu.compat import load_pth
+
+        return load_pth(path)
+    raise ValueError(f"unsupported weight format: {path}")
+
+
+def load_vgg_weights(path: str | None, flavor: str, seed: int = 0) -> dict:
+    """VGG weights from file, or random init (smoke runs) when None.
+
+    flavor: "vgg16" | "vgg19_rtnstv" | "vgg19_adaattn".
+    """
+    from vst_tpu.models import vgg
+
+    init = {
+        "vgg16": vgg.init_vgg16_reconet,
+        "vgg19_rtnstv": vgg.init_vgg19_rtnstv,
+        "vgg19_adaattn": vgg.init_vgg19_adaattn,
+    }[flavor]
+    if path is None:
+        return init(seed)
+    weights = load_weights(path)
+    expected = init(seed)
+    return {k: weights[k] for k in expected}

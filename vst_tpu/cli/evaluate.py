@@ -1,0 +1,104 @@
+"""Metric CLI (mirrors AdaAttN/eval.py:311-339).
+
+Modes: lpips / ssim / kl / gram / moment / uni / entropy / sifid.
+"""
+
+import argparse
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="vst_tpu.cli.evaluate",
+        usage="evaluate [-h] [-m MODE] [-p0 PATH0] [-p1 PATH1]")
+    p.add_argument("-m", "--mode", default="lpips",
+                   choices=["lpips", "ssim", "kl", "gram", "moment", "uni",
+                            "entropy", "sifid"])
+    p.add_argument("-p0", "--path0", default="./results/stylized.png")
+    p.add_argument("-p1", "--path1", default="./results/style.png")
+    p.add_argument("--vgg19-weights", help="for gram")
+    p.add_argument("--lpips-weights",
+                   help="LPIPS checkpoint: vendored linear heads (.pth)")
+    p.add_argument("--vgg16-weights", help="LPIPS trunk weights")
+    p.add_argument("--inception-weights", help="for sifid")
+    p.add_argument("--dims", type=int, default=2048,
+                   help="sifid feature dims (64/192/768/2048)")
+    return p
+
+
+def _load_uint8(path):
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    img0 = _load_uint8(args.path0)
+    img1 = _load_uint8(args.path1)
+
+    if args.mode == "lpips":
+        from vst_tpu.cli.common import load_weights
+        from vst_tpu.eval.lpips import (
+            image_to_lpips_input, load_linear_heads, lpips_vgg,
+            random_lpips_params)
+
+        if args.vgg16_weights:
+            params = load_weights(args.vgg16_weights)
+            params.update(load_linear_heads(args.lpips_weights))
+        else:
+            params = random_lpips_params()
+        val = float(lpips_vgg(params,
+                              image_to_lpips_input(img0),
+                              image_to_lpips_input(img1))[0])
+        print("Distance: %f" % val)
+    elif args.mode == "ssim":
+        import jax.numpy as jnp
+
+        from vst_tpu.eval import ssim
+
+        val = float(ssim(jnp.asarray(img0, jnp.float32)[None],
+                         jnp.asarray(img1, jnp.float32)[None]))
+        print("SSIM: %f" % val)
+    elif args.mode == "kl":
+        from vst_tpu.eval import kl_divergence_rgb
+
+        # reference reads with cv2 (BGR); channel-mean KL is order-invariant
+        print("KL: %f" % kl_divergence_rgb(img0, img1))
+    elif args.mode == "gram":
+        import jax.numpy as jnp
+
+        from vst_tpu.cli.common import load_vgg_weights
+        from vst_tpu.eval import gram_loss_5tap
+
+        vgg_params = load_vgg_weights(args.vgg19_weights, "vgg19_adaattn")
+        val = float(gram_loss_5tap(vgg_params,
+                                   jnp.asarray(img0, jnp.float32)[None],
+                                   jnp.asarray(img1, jnp.float32)[None]))
+        print("Gram Loss: %f" % val)
+    elif args.mode in ("moment", "uni", "entropy"):
+        from vst_tpu.eval import average_entropy, nth_order_moment, uniformity
+
+        gray = np.asarray(
+            0.299 * img0[..., 0] + 0.587 * img0[..., 1] + 0.114 * img0[..., 2]
+        ).astype(np.uint8)
+        if args.mode == "moment":
+            print("Nth Order Moment: %f" % nth_order_moment(gray))
+        elif args.mode == "uni":
+            print("Uniformity: %f" % uniformity(gray))
+        else:
+            print("Average Entropy: %f" % average_entropy(gray))
+    elif args.mode == "sifid":
+        from vst_tpu.cli.common import load_weights
+        from vst_tpu.eval.inception import init_inception
+        from vst_tpu.eval.sifid import sifid
+
+        params = (load_weights(args.inception_weights)
+                  if args.inception_weights else init_inception())
+        print("SIFID: %f" % sifid(params, img0.astype(np.float32),
+                                  img1.astype(np.float32), args.dims))
+
+
+if __name__ == "__main__":
+    main()

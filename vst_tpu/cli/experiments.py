@@ -1,0 +1,229 @@
+"""Experiment runners with CSV output.
+
+Mirrors: AdaAttN/exps_image.py, exps_image_all.py (content×style metric
+sweeps), exps_video.py (warping error + flow MSE), exps_sintel.py (per-scene
+masked warped error), RTNSTV/experiment_Et.py, ReCoNet/experiment/
+experiment_mse.py.
+
+Flow source: the reference runs RAFT on-GPU inside dataset workers; here
+flow comes from precomputed files or the offline flow tool
+(vst_tpu.data.datasets.calculate_optical_flow) — SURVEY.md §7 hard part 1,
+option (b).
+"""
+
+import argparse
+import csv
+import functools
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="vst_tpu.cli.experiments")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("image", help="content×style stylize + metric sweep")
+    pi.add_argument("--contents", required=True)
+    pi.add_argument("--styles", required=True)
+    pi.add_argument("--weights", required=True)
+    pi.add_argument("--vgg-weights")
+    pi.add_argument("--activation", default="softmax")
+    pi.add_argument("--size", type=int, nargs=2, default=[512, 512],
+                    metavar=("H", "W"))
+    pi.add_argument("--out", default="./results/results.csv")
+
+    pv = sub.add_parser("video", help="warping error + flow MSE over a video")
+    pv.add_argument("--model", required=True,
+                    choices=["reconet", "sd1", "sd2", "rtnstv"])
+    pv.add_argument("--weights", required=True)
+    pv.add_argument("--video", required=True)
+    pv.add_argument("--size", type=int, nargs=2, default=[640, 360],
+                    metavar=("W", "H"))
+    pv.add_argument("--flow-engine", default="farneback")
+
+    pe = sub.add_parser("sintel-et", help="RTNSTV Et over Sintel scenes")
+    pe.add_argument("--weights", required=True)
+    pe.add_argument("--sintel", required=True,
+                    help="MPI-Sintel-complete root")
+    pe.add_argument("--scenes", nargs="*", default=["alley_1"])
+    pe.add_argument("--out", default="./results/sintel_et.csv")
+
+    pm = sub.add_parser("mse", help="ReCoNet video temporal MSE")
+    pm.add_argument("--model", default="reconet",
+                    choices=["reconet", "sd1", "sd2"])
+    pm.add_argument("--weights", required=True)
+    pm.add_argument("--video", required=True)
+    pm.add_argument("--input-frame-num", type=int, default=1)
+    return p
+
+
+def _metric_row(img0, img1, vgg_params):
+    """The metric battery used by exps_image.py (sans LPIPS/SIFID which
+    need pretrained weights; included when available via evaluate CLI)."""
+    import jax.numpy as jnp
+
+    from vst_tpu.eval import (
+        average_entropy,
+        gram_loss_5tap,
+        kl_divergence_rgb,
+        nth_order_moment,
+        ssim,
+        uniformity,
+    )
+
+    a8 = np.clip(img0, 0, 255).astype(np.uint8)
+    b8 = np.clip(img1, 0, 255).astype(np.uint8)
+    gray = np.asarray(0.299 * a8[..., 0] + 0.587 * a8[..., 1]
+                      + 0.114 * a8[..., 2]).astype(np.uint8)
+    return {
+        "ssim": float(ssim(jnp.asarray(img0, jnp.float32)[None],
+                           jnp.asarray(img1, jnp.float32)[None])),
+        "kl": kl_divergence_rgb(a8, b8),
+        "gram": float(gram_loss_5tap(vgg_params,
+                                     jnp.asarray(img0, jnp.float32)[None],
+                                     jnp.asarray(img1, jnp.float32)[None])),
+        "moment": nth_order_moment(gray),
+        "uniformity": uniformity(gray),
+        "entropy": average_entropy(gray),
+    }
+
+
+def run_image(args):
+    import jax.numpy as jnp
+
+    from vst_tpu.cli.common import load_image_255, load_vgg_weights, load_weights
+    from vst_tpu.data.datasets import list_files
+    from vst_tpu.infer.image import stylize_adaattn
+
+    params = load_weights(args.weights)
+    vgg_params = load_vgg_weights(args.vgg_weights, "vgg19_adaattn")
+    h, w = args.size
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    rows = []
+    for cpath in list_files(args.contents):
+        for spath in list_files(args.styles):
+            c = jnp.asarray(load_image_255(cpath, (w, h))[None])
+            s = jnp.asarray(load_image_255(spath, (w, h))[None])
+            cs = np.asarray(stylize_adaattn(vgg_params, params, c, s,
+                                            args.activation))[0]
+            row = {"content": os.path.basename(cpath),
+                   "style": os.path.basename(spath)}
+            row.update({f"style_{k}": v for k, v in
+                        _metric_row(cs, np.asarray(s)[0], vgg_params).items()})
+            row.update({f"content_{k}": v for k, v in
+                        _metric_row(cs, np.asarray(c)[0], vgg_params).items()})
+            rows.append(row)
+            print(row["content"], row["style"], f"ssim={row['style_ssim']:.4f}")
+    if rows:
+        avg = {"content": "average", "style": ""}
+        for k in rows[0]:
+            if k not in ("content", "style"):
+                avg[k] = float(np.mean([r[k] for r in rows]))
+        rows.append(avg)
+        with open(args.out, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(rows[0]))
+            writer.writeheader()
+            writer.writerows(rows)
+    print(args.out)
+
+
+def run_video(args):
+    import cv2
+    import jax.numpy as jnp
+
+    from vst_tpu.cli.common import load_weights
+    from vst_tpu.data.flow_np import flow_warp_mask_np
+    from vst_tpu.eval.temporal import flow_mse, warping_error_step
+    from vst_tpu.infer.image import stylize_reconet, stylize_rtnstv
+    from vst_tpu.infer.video import frames_from_video
+
+    params = load_weights(args.weights)
+    if args.model == "rtnstv":
+        model_fn = functools.partial(stylize_rtnstv, params)
+    else:
+        model_fn = functools.partial(stylize_reconet, params,
+                                     family=args.model)
+
+    def flow(a, b):
+        ga = cv2.cvtColor(a.astype(np.uint8), cv2.COLOR_RGB2GRAY)
+        gb = cv2.cvtColor(b.astype(np.uint8), cv2.COLOR_RGB2GRAY)
+        return cv2.calcOpticalFlowFarneback(
+            ga, gb, None, 0.5, 5, 15, 3, 5, 1.2, 0)
+
+    prev = None
+    total, count, fmse = 0.0, 0, 0.0
+    for frame in frames_from_video(args.video, tuple(args.size), "linear"):
+        styled = np.asarray(model_fn(frame[None]))[0]
+        if prev is not None:
+            c1, cs1 = prev
+            f01, f10 = flow(c1, frame), flow(frame, c1)
+            mask = flow_warp_mask_np(f01, f10)
+            total += float(warping_error_step(
+                jnp.asarray(cs1)[None], jnp.asarray(styled)[None],
+                jnp.asarray(f10)[None], jnp.asarray(mask)[None]))
+            fmse += flow_mse(f10, flow(styled, cs1))
+            count += 1
+        prev = (frame, styled)
+    warping_error = float(np.sqrt(total / count))
+    print(f"Warping Error: {warping_error}")
+    print(f"Flow MSE: {fmse / count}")
+
+
+def run_sintel_et(args):
+    import jax.numpy as jnp
+
+    from vst_tpu.cli.common import load_weights
+    from vst_tpu.data.datasets import list_files, load_image
+    from vst_tpu.data.flowio import read_sintel_flo
+    from vst_tpu.eval.temporal import temporal_error_sintel
+    from vst_tpu.infer.image import stylize_rtnstv
+
+    params = load_weights(args.weights)
+    model_fn = functools.partial(stylize_rtnstv, params)
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    rows = []
+    for scene in args.scenes:
+        frames = [load_image(p, (640, 360))
+                  for p in list_files(
+                      os.path.join(args.sintel, "training/final", scene))]
+        flow_files = list_files(
+            os.path.join(args.sintel, "training/flow", scene))
+        mask_files = list_files(
+            os.path.join(args.sintel, "training/occlusions", scene))
+        from vst_tpu.data.flow_np import resize_flow_np
+
+        flows = [resize_flow_np(read_sintel_flo(p), (360, 640))
+                 for p in flow_files]
+        masks = [(load_image(p, (640, 360), mode="L")[..., 0] == 0)
+                 .astype(np.float32) for p in mask_files]
+        et = temporal_error_sintel(model_fn, frames, flows, masks)
+        rows.append({"scene": scene, "Et": et})
+        print(scene, et)
+    with open(args.out, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=["scene", "Et"])
+        writer.writeheader()
+        writer.writerows(rows)
+    print(args.out)
+
+
+def run_mse(args):
+    from vst_tpu.cli.common import load_weights
+    from vst_tpu.eval.temporal import temporal_mse
+    from vst_tpu.infer.image import stylize_reconet
+    from vst_tpu.infer.video import frames_from_video
+
+    params = load_weights(args.weights)
+    model_fn = functools.partial(stylize_reconet, params, family=args.model)
+    frames = frames_from_video(args.video, (640, 360), "linear")
+    print(temporal_mse(model_fn, frames, args.input_frame_num))
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    {"image": run_image, "video": run_video,
+     "sintel-et": run_sintel_et, "mse": run_mse}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

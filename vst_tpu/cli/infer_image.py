@@ -1,0 +1,81 @@
+"""Image inference CLI (mirrors AdaAttN/infer_image.py,
+AdaAttN/infer_image_all.py, and single-image use of the feed-forward
+models)."""
+
+import argparse
+import itertools
+import os
+
+import jax.numpy as jnp
+
+from vst_tpu.cli.common import load_image_255, load_vgg_weights, load_weights, save_image_255
+from vst_tpu.infer.image import stylize_adaattn, stylize_reconet, stylize_rtnstv
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="vst_tpu.cli.infer_image")
+    p.add_argument("--model", required=True,
+                   choices=["reconet", "sd1", "sd2", "rtnstv", "adaattn"])
+    p.add_argument("--weights", required=True)
+    p.add_argument("--content", required=True,
+                   help="image path, or directory with --all-pairs")
+    p.add_argument("--style", help="style image (adaattn) or directory")
+    p.add_argument("--vgg-weights")
+    p.add_argument("--activation", default="softmax",
+                   choices=["softmax", "cosine"])
+    p.add_argument("--size", type=int, nargs=2, metavar=("H", "W"),
+                   help="resize inputs (adaattn infer_image_all uses 512 512)")
+    p.add_argument("--out", default="./results")
+    p.add_argument("--all-pairs", action="store_true",
+                   help="every content × style combination "
+                        "(AdaAttN/infer_image_all.py)")
+    return p
+
+
+def _load(path, size):
+    wh = (size[1], size[0]) if size else None
+    return jnp.asarray(load_image_255(path, wh)[None])
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    params = load_weights(args.weights)
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.model in ("reconet", "sd1", "sd2", "rtnstv"):
+        content = _load(args.content, args.size)
+        if args.model == "rtnstv":
+            out = stylize_rtnstv(params, content)
+        else:
+            out = stylize_reconet(params, content, args.model)
+        dst = os.path.join(args.out, "stylized.png")
+        save_image_255(out[0], dst)
+        print(dst)
+        return
+
+    vgg_params = load_vgg_weights(args.vgg_weights, "vgg19_adaattn")
+    if args.all_pairs:
+        from vst_tpu.data.datasets import list_files
+
+        pairs = itertools.product(list_files(args.content),
+                                  list_files(args.style))
+        for cpath, spath in pairs:
+            c = _load(cpath, args.size or (512, 512))
+            s = _load(spath, args.size or (512, 512))
+            out = stylize_adaattn(vgg_params, params, c, s, args.activation)
+            cname = os.path.splitext(os.path.basename(cpath))[0]
+            sname = os.path.splitext(os.path.basename(spath))[0]
+            dst = os.path.join(args.out, f"{cname}__{sname}.png")
+            save_image_255(out[0], dst)
+            print(dst)
+    else:
+        c = _load(args.content, args.size)
+        s = _load(args.style, args.size)
+        out = stylize_adaattn(vgg_params, params, c, s, args.activation)
+        dst = os.path.join(args.out, "stylized.png")
+        save_image_255(out[0], dst)
+        print(dst)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Video inference CLI (mirrors ReCoNet/inference/infer.py,
+ReCoNet/inference_two_model/infer.py, RTNSTV/infer.py,
+AdaAttN/infer_video.py) — streaming, batched, optionally encoding an output
+video instead of the reference's cv2 playback window."""
+
+import argparse
+import functools
+import os
+
+import numpy as np
+
+from vst_tpu.cli.common import load_image_255, load_vgg_weights, load_weights
+from vst_tpu.infer.image import stylize_reconet, stylize_rtnstv
+from vst_tpu.infer.video import (
+    AdaAttNVideoStylizer,
+    StreamingStylizer,
+    frames_from_video,
+    video_fps,
+    write_video,
+)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="vst_tpu.cli.infer_video")
+    p.add_argument("--model", required=True,
+                   choices=["reconet", "sd1", "sd2", "rtnstv", "adaattn"])
+    p.add_argument("--weights", required=True)
+    p.add_argument("--video", required=True)
+    p.add_argument("--style", help="style image (adaattn)")
+    p.add_argument("--vgg-weights")
+    p.add_argument("--activation", default="cosine",
+                   choices=["softmax", "cosine"])
+    p.add_argument("--input-frame-num", type=int, default=1)
+    p.add_argument("--first-frame", type=int)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--size", type=int, nargs=2, metavar=("W", "H"),
+                   help="frame size (reconet default 640 360; adaattn 512 256)")
+    p.add_argument("--out", help="output video path (.mp4); omit to only "
+                                 "report fps")
+    p.add_argument("--frames-dir", help="also dump frames here")
+    return p
+
+
+def main(argv=None):
+    import time
+
+    args = build_parser().parse_args(argv)
+    params = load_weights(args.weights)
+
+    if args.model == "adaattn":
+        import jax.numpy as jnp
+
+        size = tuple(args.size or (512, 256))
+        vgg_params = load_vgg_weights(args.vgg_weights, "vgg19_adaattn")
+        style = jnp.asarray(load_image_255(args.style, size)[None])
+        stylizer = AdaAttNVideoStylizer(vgg_params, params, style,
+                                        args.activation, args.batch_size)
+        frames = frames_from_video(args.video, size, "area")
+        out_iter = stylizer.stylize_frames(frames)
+    else:
+        size = tuple(args.size or (640, 360))
+        if args.model == "rtnstv":
+            model_fn = functools.partial(stylize_rtnstv, params)
+        else:
+            model_fn = functools.partial(stylize_reconet, params,
+                                         family=args.model)
+        frames = frames_from_video(args.video, size, "linear")
+        out_iter = iter(StreamingStylizer(
+            model_fn, frames, args.input_frame_num, args.batch_size,
+            args.first_frame))
+
+    t0 = time.time()
+    outputs = []
+    count = 0
+    for frame in out_iter:
+        count += 1
+        if args.out or args.frames_dir:
+            outputs.append(frame)
+        if args.frames_dir:
+            from vst_tpu.cli.common import save_image_255
+
+            os.makedirs(args.frames_dir, exist_ok=True)
+            save_image_255(frame, os.path.join(args.frames_dir,
+                                               f"{count - 1:05d}.jpg"))
+    dt = time.time() - t0
+    print(f"{count} frames in {dt:.2f}s → {count / dt:.1f} fps")
+    if args.out:
+        write_video(args.out, outputs, video_fps(args.video) or 30.0)
+        print(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""Training CLI — one command for all 8 trainer variants.
+
+Mirrors: ReCoNet/train_single/train_{candy,starry-night,Flow_noFTL,
+coco2014,Flow_SD1,Flow_SD2}.py, ReCoNet/train_multiple/train_Flow.py,
+RTNSTV/train.py, AdaAttN/train_{image,video}.py.
+"""
+
+import argparse
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from vst_tpu.cli.common import load_image_255, load_vgg_weights, load_weights
+from vst_tpu.models import adaattn, reconet, rtnstv
+from vst_tpu.train import config as C
+from vst_tpu.train import steps
+from vst_tpu.train.checkpoint import partial_init_from
+from vst_tpu.train.loop import run_training
+from vst_tpu.train.state import create, make_optimizer
+
+TRAINERS = (
+    "reconet-candy", "reconet-starry-night", "reconet-noftl",
+    "reconet-multiframe", "reconet-coco", "reconet-sd1", "reconet-sd2",
+    "rtnstv", "adaattn-image", "adaattn-video",
+)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="vst_tpu.cli.train")
+    p.add_argument("--trainer", choices=TRAINERS, required=True)
+    p.add_argument("--data", required=True,
+                   help="dataset root (SceneFlow / coco / Videvo / WikiArt "
+                        "pair root 'content_dir,style_dir')")
+    p.add_argument("--style", help="style image path (per-style trainers)")
+    p.add_argument("--vgg-weights", help=".npz/.pth VGG weights "
+                                         "(random init if omitted)")
+    p.add_argument("--teacher-weights", help="teacher ckpt for sd1/sd2")
+    p.add_argument("--init-weights", help="student init ckpt (strict=False)")
+    p.add_argument("--out-dir", default="./models")
+    p.add_argument("--name", help="checkpoint base name (default: trainer)")
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--batch-size", type=int)
+    p.add_argument("--lr", type=float)
+    p.add_argument("--img-size", type=int, nargs=2, metavar=("H", "W"))
+    p.add_argument("--epoch-start", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=50)
+    return p
+
+
+def _override(cfg, args):
+    kw = {}
+    if args.epochs is not None:
+        kw["epochs"] = args.epochs
+    if args.batch_size is not None:
+        kw["batch_size"] = args.batch_size
+    if args.lr is not None:
+        kw["lr"] = args.lr
+    if args.img_size is not None:
+        field = ("img_size" if hasattr(cfg, "img_size") else
+                 "crop_size" if hasattr(cfg, "crop_size") else "frame_size")
+        kw[field] = tuple(args.img_size)
+    return dataclasses.replace(cfg, **kw) if kw else cfg
+
+
+def _style_tensor(args, size_hw=None):
+    size_wh = (size_hw[1], size_hw[0]) if size_hw else None
+    return jnp.asarray(load_image_255(args.style, size_wh)[None])
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    t = args.trainer
+    name = args.name or t
+
+    if t.startswith("reconet") and t not in ("reconet-coco",):
+        from vst_tpu.data.datasets import SceneFlowCombined
+
+        base = {
+            "reconet-candy": C.RECONET_CANDY,
+            "reconet-starry-night": C.RECONET_STARRY_NIGHT,
+            "reconet-noftl": C.RECONET_NOFTL,
+            "reconet-multiframe": C.RECONET_MULTIFRAME,
+            "reconet-sd1": C.DISTILL_SD1,
+            "reconet-sd2": C.DISTILL_SD2,
+        }[t]
+        cfg = _override(base, args)
+        vgg_params = load_vgg_weights(args.vgg_weights, "vgg16", args.seed)
+        # candy resizes the style image to IMG_SIZE; others use it as-is
+        style = _style_tensor(
+            args, cfg.img_size if "candy" in t or "starry" in t else None)
+        grams = steps.reconet_style_grams(vgg_params, style)
+        opt = make_optimizer(cfg.lr)
+        dataset = SceneFlowCombined(args.data, cfg.img_size,
+                                    cfg.input_frame_num)
+        if t in ("reconet-sd1", "reconet-sd2"):
+            teacher_init = {"reconet": reconet.init_reconet,
+                            "sd1": reconet.init_reconet_sd1}[cfg.teacher]
+            student_init = {"sd1": reconet.init_reconet_sd1,
+                            "sd2": reconet.init_reconet_sd2}[cfg.student]
+            teacher = load_weights(args.teacher_weights)
+            params = student_init(args.seed, cfg.input_frame_num)
+            params = partial_init_from(params, teacher)
+            step = steps.make_reconet_distill_step(cfg, vgg_params, grams,
+                                                   teacher, opt)
+        else:
+            params = reconet.init_reconet(args.seed, cfg.input_frame_num)
+            if args.init_weights:
+                params = partial_init_from(params,
+                                           load_weights(args.init_weights))
+            step = steps.make_reconet_flow_step(cfg, vgg_params, grams, opt)
+        state = create(params, opt)
+
+    elif t == "reconet-coco":
+        from vst_tpu.data.datasets import Coco2014
+
+        cfg = _override(C.ReCoNetCocoConfig(), args)
+        vgg_params = load_vgg_weights(args.vgg_weights, "vgg16", args.seed)
+        style = _style_tensor(args)
+        grams = steps.reconet_style_grams(vgg_params, style)
+        opt = make_optimizer(cfg.lr)
+        dataset = Coco2014(args.data, cfg.img_size)
+        state = create(reconet.init_reconet(args.seed), opt)
+        step = steps.make_reconet_coco_step(cfg, vgg_params, grams, opt)
+
+    elif t == "rtnstv":
+        from vst_tpu.data.datasets import SceneFlowCombined
+
+        cfg = _override(C.RTNSTVConfig(), args)
+        vgg_params = load_vgg_weights(args.vgg_weights, "vgg19_rtnstv",
+                                      args.seed)
+        style = _style_tensor(args)
+        grams = steps.rtnstv_style_grams(vgg_params, style)
+        opt = make_optimizer(cfg.lr)
+        dataset = SceneFlowCombined(args.data, cfg.img_size)
+        state = create(rtnstv.init_stylizing_network(args.seed), opt)
+        step = steps.make_rtnstv_step(cfg, vgg_params, grams, opt)
+
+    elif t == "adaattn-image":
+        from vst_tpu.data.datasets import CocoWikiArt
+
+        cfg = _override(C.AdaAttNImageConfig(), args)
+        vgg_params = load_vgg_weights(args.vgg_weights, "vgg19_adaattn",
+                                      args.seed)
+        coco_path, wikiart_path = args.data.split(",")
+        dataset = CocoWikiArt(coco_path, wikiart_path, cfg.crop_size,
+                              args.seed)
+        opt = make_optimizer(cfg.lr)
+        state = create(adaattn.init_stylizing_network(args.seed), opt)
+        step = steps.make_adaattn_image_step(cfg, vgg_params, opt)
+
+    elif t == "adaattn-video":
+        from vst_tpu.data.datasets import VidevoWikiArt
+
+        cfg = _override(C.AdaAttNVideoConfig(), args)
+        vgg_params = load_vgg_weights(args.vgg_weights, "vgg19_adaattn",
+                                      args.seed)
+        videvo_path, wikiart_path = args.data.split(",")
+        dataset = VidevoWikiArt(videvo_path, wikiart_path, args.seed)
+        opt = make_optimizer(cfg.lr)
+        state = create(adaattn.init_stylizing_network(args.seed), opt)
+        step = steps.make_adaattn_video_step(cfg, vgg_params, opt)
+
+    else:  # pragma: no cover
+        raise ValueError(t)
+
+    run_training(
+        step, state, dataset,
+        batch_size=cfg.batch_size, epochs=cfg.epochs,
+        epoch_start=args.epoch_start, out_dir=args.out_dir,
+        model_name=name, seed=args.seed, log_every=args.log_every)
+
+
+if __name__ == "__main__":
+    main()

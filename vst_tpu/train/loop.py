@@ -1,0 +1,66 @@
+"""Generic training loop driver.
+
+Replaces the reference's per-script epoch/batch loops (e.g.
+ReCoNet/train_single/train_candy.py:63-170) with one reusable loop:
+shuffled threaded batch loading, double-buffered device prefetch, per-epoch
+checkpoints (params npz + full TrainState + optional reference-named .pth
+export), and metric logging.
+"""
+
+import os
+import time
+
+import numpy as np
+
+from vst_tpu.data.pipeline import BatchLoader, device_prefetch
+from vst_tpu.train import checkpoint as ckpt
+from vst_tpu.train.state import TrainState
+
+
+def run_training(
+    step_fn,
+    state: TrainState,
+    dataset,
+    *,
+    batch_size: int,
+    epochs: int,
+    epoch_start: int = 1,
+    out_dir: str = "./models",
+    model_name: str = "model",
+    export_pth: bool = True,
+    log_every: int = 50,
+    seed: int = 0,
+    num_workers: int = 4,
+    prefetch: int = 2,
+    sharding=None,
+    log_fn=print,
+) -> TrainState:
+    """Run ``epochs`` epochs of ``step_fn(state, batch)`` over ``dataset``.
+
+    Checkpoints per epoch using the reference's naming convention
+    (``{name}_epoch_{e}_batchSize_{b}``), plus a resumable full-state file.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    for epoch in range(epoch_start, epochs + 1):
+        loader = BatchLoader(dataset, batch_size, shuffle=True,
+                             seed=seed + epoch, num_workers=num_workers)
+        n_batches = len(loader)
+        t0 = time.time()
+        last_metrics = {}
+        for i, batch in enumerate(device_prefetch(iter(loader), prefetch,
+                                                  sharding)):
+            state, metrics = step_fn(state, batch)
+            if log_every and (i % log_every == 0 or i == n_batches - 1):
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                rate = (i + 1) * batch_size / (time.time() - t0)
+                msg = " ".join(f"{k}={v:.4g}" for k, v in last_metrics.items())
+                log_fn(f"epoch {epoch}/{epochs} batch {i + 1}/{n_batches} "
+                       f"({rate:.1f} samples/s) {msg}")
+
+        name = ckpt.epoch_checkpoint_name(model_name, epoch, batch_size)
+        params_host = {k: np.asarray(v) for k, v in state.params.items()}
+        ckpt.save_params(params_host, os.path.join(out_dir, name + ".npz"))
+        ckpt.save_state(state, os.path.join(out_dir, model_name + "_last_state.pkl"))
+        if export_pth:
+            ckpt.export_pth(params_host, os.path.join(out_dir, name + ".pth"))
+    return state
