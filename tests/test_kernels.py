@@ -1,0 +1,51 @@
+"""Pallas kernel tests (interpreter mode on the CPU test mesh; the compiled
+path is exercised on real TPU by bench/integration runs)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from jax import lax
+
+from vst_tpu.kernels import softmax_attention_moments_pallas
+from vst_tpu.models.adaattn import _attention_moments_softmax_exact
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+
+class TestFusedAttentionMoments:
+    @pytest.mark.parametrize(
+        "n,m,d,c,bq,bk",
+        [
+            (256, 256, 64, 32, 128, 128),     # exact block multiples
+            (300, 520, 96, 64, 128, 256),     # padding in both n and m
+            (128, 700, 48, 24, 128, 256),     # k padding only
+        ],
+    )
+    def test_matches_exact(self, rng, n, m, d, c, bq, bk):
+        q = _rand(rng, 2, n, d)
+        k = _rand(rng, 2, m, d)
+        v = _rand(rng, 2, m, c)
+        m1e, m2e = _attention_moments_softmax_exact(
+            q, k, v, lax.Precision.HIGHEST)
+        m1p, m2p = softmax_attention_moments_pallas(
+            q, k, v, bq=bq, bk=bk, interpret=True)
+        np.testing.assert_allclose(np.asarray(m1p), np.asarray(m1e),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(m2p), np.asarray(m2e),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_extreme_logits_stable(self, rng):
+        """Online softmax must stay finite with large score magnitudes."""
+        q = _rand(rng, 1, 128, 32) * 30
+        k = _rand(rng, 1, 256, 32) * 30
+        v = _rand(rng, 1, 256, 16)
+        m1, m2 = softmax_attention_moments_pallas(
+            q, k, v, bq=128, bk=128, interpret=True)
+        assert np.isfinite(np.asarray(m1)).all()
+        assert np.isfinite(np.asarray(m2)).all()
+        m1e, m2e = _attention_moments_softmax_exact(
+            q, k, v, lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m1e),
+                                   rtol=1e-3, atol=1e-3)

@@ -143,8 +143,16 @@ def attention_moments(q, k, v, activation: str, mode: str = "auto",
         return _attention_moments_cosine_linear(q, k, v, prec)
     if activation == "softmax":
         n, m = q.shape[1], k.shape[1]
+        if mode == "pallas":
+            from vst_tpu.kernels import softmax_attention_moments_pallas
+
+            return softmax_attention_moments_pallas(q, k, v)
         if mode == "exact" or (mode == "auto" and n * m <= 4096 * 4096):
             return _attention_moments_softmax_exact(q, k, v, prec)
+        if mode == "auto" and jax.default_backend() == "tpu":
+            from vst_tpu.kernels import softmax_attention_moments_pallas
+
+            return softmax_attention_moments_pallas(q, k, v)
         return _attention_moments_softmax_chunked(q, k, v, prec, chunk)
     raise ValueError(f"Unknown activation: {activation}")
 
