@@ -229,3 +229,18 @@ class TestFeatureDownSample:
         ] + [t_feats[2]]
         ref = to_nhwc(torch.cat(parts, dim=1))
         np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+class TestPolyphaseConv:
+    @pytest.mark.parametrize("cin,cout,hw", [(5, 3, (40, 48)), (3, 48, (24, 24)),
+                                             (48, 3, (16, 40))])
+    def test_matches_plain_conv(self, rng, cin, cout, hw):
+        from vst_tpu.ops.conv import conv2d_polyphase
+
+        x = jnp.asarray(rand(rng, 2, hw[0], hw[1], cin))
+        w = jnp.asarray(rand(rng, 9, 9, cin, cout))
+        b = jnp.asarray(rand(rng, cout))
+        ref = ops.conv2d(x, w, b)
+        out = conv2d_polyphase(x, w, b, 4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)

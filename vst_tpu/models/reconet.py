@@ -23,20 +23,22 @@ import jax
 import jax.numpy as jnp
 
 from vst_tpu.models.init import as_rng, conv_init, instance_norm_init
-from vst_tpu.ops import (
-    conv2d,
-    instance_norm,
-    reflection_pad2d,
-    upsample_nearest,
-)
+from vst_tpu.ops import instance_norm, reflection_pad2d, upsample_nearest
+from vst_tpu.ops.conv import conv2d, conv2d_polyphase
 
 
 # ---------------------------------------------------------------- blocks
 
 def conv_layer(params, name, x, k, stride):
     x = reflection_pad2d(x, k // 2)
-    return conv2d(x, params[f"{name}.conv2d.weight"],
-                  params[f"{name}.conv2d.bias"], stride=stride)
+    w = params[f"{name}.conv2d.weight"]
+    b = params[f"{name}.conv2d.bias"]
+    out_h, out_w = x.shape[1] - k + 1, x.shape[2] - k + 1
+    if (k == 9 and stride == 1 and out_h % 4 == 0 and out_w % 4 == 0):
+        # 9×9 stride-1 layers (stem + ConvTanh head) have tiny channel
+        # counts; the polyphase form packs 16 output pixels per MXU column.
+        return conv2d_polyphase(x, w, b, factor=4)
+    return conv2d(x, w, b, stride=stride)
 
 
 def conv_tanh(params, name, x, k, stride):
