@@ -244,3 +244,28 @@ class TestPolyphaseConv:
         out = conv2d_polyphase(x, w, b, 4)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestFusedConvVariants:
+    def test_nearest_up2_matches_composition(self, rng):
+        from vst_tpu.ops.conv import conv2d_nearest_up2
+
+        x = jnp.asarray(rand(rng, 2, 12, 15, 6))
+        w = jnp.asarray(rand(rng, 3, 3, 6, 4))
+        b = jnp.asarray(rand(rng, 4))
+        ref = ops.conv2d(
+            ops.reflection_pad2d(ops.upsample_nearest(x, 2), 1), w, b)
+        out = conv2d_nearest_up2(x, w, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_k3s2_s2d_matches_strided_conv(self, rng):
+        from vst_tpu.ops.conv import conv2d_k3s2_s2d
+
+        x = jnp.asarray(rand(rng, 2, 34, 42, 5))
+        w = jnp.asarray(rand(rng, 3, 3, 5, 7))
+        b = jnp.asarray(rand(rng, 7))
+        ref = ops.conv2d(x, w, b, stride=2)
+        out = conv2d_k3s2_s2d(x, w, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)

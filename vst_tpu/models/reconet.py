@@ -24,7 +24,12 @@ import jax.numpy as jnp
 
 from vst_tpu.models.init import as_rng, conv_init, instance_norm_init
 from vst_tpu.ops import instance_norm, reflection_pad2d, upsample_nearest
-from vst_tpu.ops.conv import conv2d, conv2d_polyphase
+from vst_tpu.ops.conv import (
+    conv2d,
+    conv2d_k3s2_s2d,
+    conv2d_nearest_up2,
+    conv2d_polyphase,
+)
 
 
 # ---------------------------------------------------------------- blocks
@@ -54,9 +59,13 @@ def conv_inst_relu(params, name, x, k, stride):
 
 
 def upsample_conv_inst_relu(params, name, x, k, upsample):
-    if upsample:
-        x = upsample_nearest(x, upsample)
-    out = conv_layer(params, name, x, k, stride=1)
+    if upsample == 2 and k == 3:
+        out = conv2d_nearest_up2(x, params[f"{name}.conv2d.weight"],
+                                 params[f"{name}.conv2d.bias"])
+    else:
+        if upsample:
+            x = upsample_nearest(x, upsample)
+        out = conv_layer(params, name, x, k, stride=1)
     out = instance_norm(out, params[f"{name}.instance.weight"],
                         params[f"{name}.instance.bias"])
     return jax.nn.relu(out)

@@ -151,6 +151,90 @@ def conv2d_polyphase(
     return out.astype(x.dtype)
 
 
+def conv2d_nearest_up2(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Fused [nearest ×2 upsample → reflection-pad(1) → 3×3 conv].
+
+    Exactly equivalent to ReCoNet's UpsampleConvLayer body
+    (ReCoNet/network.py:101-120) but computed as a 4-phase polyphase conv on
+    the LOW-res input: because nearest-×2 duplicates pixels, each output
+    phase (a, b) reduces to a 3×3-tap conv on the edge-padded original with
+    phase-summed weights (reflection padding on the upsampled image is
+    identical to edge padding on the original — indices −1 and 2H map to
+    pixels 0 and H−1 either way).  This skips materializing the 4×-size
+    upsampled intermediate (50 MB/frame at 512p for deconv2) entirely.
+    """
+    k, _, cin, cout = w.shape
+    assert k == 3, "fused upsample-conv is specialized for 3x3 kernels"
+    n, h, ww_, _ = x.shape
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+
+    # T[a, di, u] = 1 iff upsampled tap u of output phase a reads
+    # low-res offset di-1:  (a + u - 1) // 2 == di - 1.
+    T = np.zeros((2, 3, 3), np.float32)
+    for a in range(2):
+        for u in range(3):
+            T[a, (a + u - 1) // 2 + 1, u] = 1.0
+    Tj = jnp.asarray(T)
+    w2 = jnp.einsum("adu,bev,uvco->deabco", Tj, Tj, w.astype(jnp.float32))
+    w2 = w2.transpose(0, 1, 4, 2, 3, 5).reshape(3, 3, cin, 4 * cout)
+    w2 = w2.astype(w.dtype)
+
+    out = lax.conv_general_dilated(
+        x_pad, w2, (1, 1), "VALID", dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(x.dtype),
+    )
+    out = out.reshape(n, h, ww_, 2, 2, cout)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * ww_, cout)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+def conv2d_k3s2_s2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """3×3 stride-2 VALID conv via 2×-space-to-depth.
+
+    Equivalent to ``conv2d(x, w, stride=2, padding=VALID)`` for 3×3 kernels
+    on even-height/width padded inputs: the stride-2 conv becomes a 2×2-tap
+    conv over (4·Cin) s2d channels, quadrupling the MXU contraction depth
+    for the narrow early encoder layers (e.g. ReCoNet conv2, 48→96 at
+    512²).
+    """
+    k, _, cin, cout = w.shape
+    assert k == 3
+    n, hp, wp, _ = x.shape
+    assert hp % 2 == 0 and wp % 2 == 0
+    xs = x.reshape(n, hp // 2, 2, wp // 2, 2, cin)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * cin)
+
+    # W2[di, dj, (p,q,c), o] = w[2di+p, 2dj+q, c, o]  (zero beyond k-1)
+    w_pad = jnp.pad(w.astype(jnp.float32), ((0, 1), (0, 1), (0, 0), (0, 0)))
+    idx = np.array([[0, 1], [2, 3]])  # [di, p] → 2di+p
+    g = jnp.take(w_pad, jnp.asarray(idx.reshape(-1)), axis=0)
+    g = g.reshape(2, 2, 4, cin, cout)                 # [di, p, u4, c, o]
+    g = jnp.take(g, jnp.asarray(idx.reshape(-1)), axis=2)
+    g = g.reshape(2, 2, 2, 2, cin, cout)              # [di, p, dj, q, c, o]
+    w2 = g.transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * cin, cout)
+    w2 = w2.astype(w.dtype)
+
+    out = lax.conv_general_dilated(
+        xs, w2, (1, 1), "VALID", dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(x.dtype),
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
 def max_pool2d(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
     """Max pooling (VALID), matching ``torch.nn.MaxPool2d(window, stride)``."""
     neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
