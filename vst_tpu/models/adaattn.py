@@ -184,7 +184,8 @@ def adaattn_module(params, name, c_x, s_x, c_1x, s_1x, activation,
     s = jnp.sqrt(jnp.clip(var, min=1e-6))
     mmap = m1.reshape(b, h, w, -1)
     smap = s.reshape(b, h, w, -1)
-    return smap * instance_norm(c_x) + mmap
+    out = smap * instance_norm(c_x).astype(jnp.float32) + mmap
+    return out.astype(c_x.dtype)
 
 
 def adaattn_no_conv(c_x, s_x, c_1x, s_1x, activation, mode="auto"):
