@@ -1,0 +1,87 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vst_tpu.models import reconet, rtnstv, vgg
+from vst_tpu.parallel import make_mesh, replicate, shard_batch, shard_spatial
+from vst_tpu.train import config as C
+from vst_tpu.train import steps
+from vst_tpu.train.state import create, make_optimizer
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _batch(rng, n, h, w):
+    img1 = jnp.asarray((rng.random((n, h, w, 3)) * 255).astype(np.float32))
+    img2 = jnp.asarray((rng.random((n, h, w, 3)) * 255).astype(np.float32))
+    flow = jnp.asarray((rng.standard_normal((n, h, w, 2)) * 2).astype(np.float32))
+    mask = jnp.asarray((rng.random((n, h, w)) > 0.2).astype(np.float32))
+    return img1, img2, flow, mask
+
+
+class TestDataParallelTraining:
+    def test_dp_step_matches_single_device(self, rng):
+        """The same batch must produce the same loss and updated params
+        whether run on one device or sharded over 8 (XLA inserts the
+        gradient all-reduce; math is identical)."""
+        h, w = 16, 24
+        cfg = dataclasses.replace(C.RECONET_CANDY, img_size=(h, w))
+        vgg_params = vgg.init_vgg16_reconet(0)
+        style = jnp.asarray((rng.random((1, h, w, 3)) * 255).astype(np.float32))
+        grams = steps.reconet_style_grams(vgg_params, style)
+        opt = make_optimizer(cfg.lr)
+        params = reconet.init_reconet(0)
+        batch = _batch(rng, 8, h, w)
+
+        step_single = steps.make_reconet_flow_step(cfg, vgg_params, grams, opt)
+        s1, m1 = step_single(create(params, opt), batch)
+
+        mesh = make_mesh(8, ("data",))
+        vgg_r = replicate(mesh, vgg_params)
+        grams_r = replicate(mesh, grams)
+        step_dp = steps.make_reconet_flow_step(cfg, vgg_r, grams_r, opt)
+        state_r = replicate(mesh, create(reconet.init_reconet(0), opt))
+        batch_r = shard_batch(mesh, batch)
+        s2, m2 = step_dp(state_r, batch_r)
+
+        for key in m1:
+            np.testing.assert_allclose(float(m1[key]), float(m2[key]),
+                                       rtol=1e-4, err_msg=key)
+        # Adam normalizes each update to ±lr, so fp reduction-order noise in
+        # near-zero gradients can flip a step's sign: params agree to 2·lr.
+        for k in s1.params:
+            np.testing.assert_allclose(
+                np.asarray(s1.params[k]), np.asarray(s2.params[k]),
+                atol=2.1 * cfg.lr, err_msg=k)
+
+    def test_batch_sharding_layout(self, rng):
+        mesh = make_mesh(8, ("data",))
+        x = jnp.zeros((8, 4, 4, 3))
+        xs = shard_batch(mesh, x)
+        assert xs.sharding.spec == P("data", None, None, None)
+
+
+class TestSpatialSharding:
+    def test_h_sharded_inference_matches_replicated(self, rng):
+        params = rtnstv.init_stylizing_network(0)
+        x = jnp.asarray((rng.random((1, 64, 32, 3)) * 255).astype(np.float32))
+
+        ref = np.asarray(rtnstv.stylizing_network(params, x))
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("space",))
+        params_r = jax.device_put(params, NamedSharding(mesh, P()))
+        xs = shard_spatial(mesh, x)
+
+        @jax.jit
+        def infer(p, x):
+            return rtnstv.stylizing_network(p, x)
+
+        out = np.asarray(infer(params_r, xs))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
