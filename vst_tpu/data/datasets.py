@@ -48,7 +48,8 @@ def load_image(path, size_wh=None, mode="RGB"):
 
 
 def _load_flow_file(path):
-    """(H, W, 2) float32 from .flo/.pfm/.npy/.pt."""
+    """(H, W, 2) float32 from .flo/.pfm/.npy/.pt (native decoder when
+    built — see native/vstio.cc)."""
     if path.endswith(".npy"):
         return np.load(path).astype(np.float32)
     if path.endswith(".pt"):
@@ -56,9 +57,11 @@ def _load_flow_file(path):
 
         t = torch.load(path, map_location="cpu", weights_only=True)
         return np.asarray(t).transpose(1, 2, 0).astype(np.float32)
-    flow = flowio.read_flo(path) if not path.endswith(".pfm") else \
-        flowio.read_pfm(path)[0][:, :, 0:2]
-    return flow.astype(np.float32)
+    from vst_tpu.data import native
+
+    if path.endswith(".pfm"):
+        return native.read_pfm(path)[:, :, 0:2].astype(np.float32)
+    return native.read_flo(path).astype(np.float32)
 
 
 class Coco2014:
