@@ -25,6 +25,12 @@ def build_parser():
     p.add_argument("--model", required=True,
                    choices=["reconet", "sd1", "sd2", "rtnstv", "adaattn"])
     p.add_argument("--weights", required=True)
+    p.add_argument("--weights2",
+                   help="second checkpoint: side-by-side comparison output "
+                        "(ReCoNet/inference_two_model/infer.py)")
+    p.add_argument("--model2",
+                   choices=["reconet", "sd1", "sd2", "rtnstv"],
+                   help="model family for --weights2 (default: --model)")
     p.add_argument("--video", required=True)
     p.add_argument("--style", help="style image (adaattn)")
     p.add_argument("--vgg-weights")
@@ -64,6 +70,21 @@ def main(argv=None):
         else:
             model_fn = functools.partial(stylize_reconet, params,
                                          family=args.model)
+        if args.weights2:
+            params2 = load_weights(args.weights2)
+            fam2 = args.model2 or args.model
+            if fam2 == "rtnstv":
+                model2_fn = functools.partial(stylize_rtnstv, params2)
+            else:
+                model2_fn = functools.partial(stylize_reconet, params2,
+                                              family=fam2)
+            base_fn = model_fn
+
+            def model_fn(batch):  # noqa: F811 — side-by-side compare
+                a = np.asarray(base_fn(batch))
+                b = np.asarray(model2_fn(batch))
+                return np.concatenate([a, b], axis=2)
+
         frames = frames_from_video(args.video, size, "linear")
         out_iter = iter(StreamingStylizer(
             model_fn, frames, args.input_frame_num, args.batch_size,

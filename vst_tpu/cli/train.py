@@ -46,6 +46,8 @@ def build_parser():
     p.add_argument("--epoch-start", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--loss-plots-dir",
+                   help="write per-epoch loss-curve PNGs (RTNSTV/train.py)")
     return p
 
 
@@ -169,7 +171,8 @@ def main(argv=None):
         step, state, dataset,
         batch_size=cfg.batch_size, epochs=cfg.epochs,
         epoch_start=args.epoch_start, out_dir=args.out_dir,
-        model_name=name, seed=args.seed, log_every=args.log_every)
+        model_name=name, seed=args.seed, log_every=args.log_every,
+        loss_plots_dir=args.loss_plots_dir)
 
 
 if __name__ == "__main__":

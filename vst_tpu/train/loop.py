@@ -17,6 +17,26 @@ from vst_tpu.train import checkpoint as ckpt
 from vst_tpu.train.state import TrainState
 
 
+def _save_loss_plot(history, out_dir, name, epoch, batch_size):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    plt.figure()
+    for key, vals in history.items():
+        if key != "loss":
+            plt.plot(range(1, len(vals) + 1), vals, label=key)
+    plt.xlabel("Logged step")
+    plt.ylabel("Loss")
+    plt.title(f"Losses for Epoch {epoch}")
+    plt.legend()
+    plt.savefig(os.path.join(
+        out_dir, f"{name}_epoch_{epoch}_batchSize_{batch_size}_loss.png"))
+    plt.close()
+
+
 def run_training(
     step_fn,
     state: TrainState,
@@ -34,11 +54,14 @@ def run_training(
     prefetch: int = 2,
     sharding=None,
     log_fn=print,
+    loss_plots_dir: str | None = None,
 ) -> TrainState:
     """Run ``epochs`` epochs of ``step_fn(state, batch)`` over ``dataset``.
 
     Checkpoints per epoch using the reference's naming convention
     (``{name}_epoch_{e}_batchSize_{b}``), plus a resumable full-state file.
+    ``loss_plots_dir`` writes per-epoch loss-curve PNGs (the RTNSTV
+    trainer's matplotlib plots, RTNSTV/train.py:162-175).
     """
     os.makedirs(out_dir, exist_ok=True)
     for epoch in range(epoch_start, epochs + 1):
@@ -46,16 +69,21 @@ def run_training(
                              seed=seed + epoch, num_workers=num_workers)
         n_batches = len(loader)
         t0 = time.time()
-        last_metrics = {}
+        history: dict[str, list] = {}
         for i, batch in enumerate(device_prefetch(iter(loader), prefetch,
                                                   sharding)):
             state, metrics = step_fn(state, batch)
             if log_every and (i % log_every == 0 or i == n_batches - 1):
-                last_metrics = {k: float(v) for k, v in metrics.items()}
+                vals = {k: float(v) for k, v in metrics.items()}
+                for k, v in vals.items():
+                    history.setdefault(k, []).append(v)
                 rate = (i + 1) * batch_size / (time.time() - t0)
-                msg = " ".join(f"{k}={v:.4g}" for k, v in last_metrics.items())
+                msg = " ".join(f"{k}={v:.4g}" for k, v in vals.items())
                 log_fn(f"epoch {epoch}/{epochs} batch {i + 1}/{n_batches} "
                        f"({rate:.1f} samples/s) {msg}")
+        if loss_plots_dir:
+            _save_loss_plot(history, loss_plots_dir, model_name, epoch,
+                            batch_size)
 
         name = ckpt.epoch_checkpoint_name(model_name, epoch, batch_size)
         params_host = {k: np.asarray(v) for k, v in state.params.items()}
