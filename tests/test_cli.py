@@ -86,3 +86,57 @@ class TestTrainCLI:
             "--img-size", "24", "32", "--log-every", "1",
         ])
         assert any(f.endswith(".pth") for f in os.listdir(out_dir))
+
+
+class TestExperimentsCLI:
+    def _make_sintel(self, root, rng, scene="alley_1", n=3, hw=(32, 64)):
+        import vst_tpu.data.flowio as flowio
+
+        h, w = hw
+        fdir = os.path.join(root, "training/final", scene)
+        odir = os.path.join(root, "training/flow", scene)
+        mdir = os.path.join(root, "training/occlusions", scene)
+        for d in (fdir, odir, mdir):
+            os.makedirs(d, exist_ok=True)
+        for i in range(n):
+            _write_img(os.path.join(fdir, f"frame_{i:04d}.png"), rng, (w, h))
+            if i < n - 1:
+                flow = (rng.standard_normal((h, w, 2)) * 2).astype(np.float32)
+                path = os.path.join(odir, f"frame_{i:04d}.flo")
+                with open(path, "wb") as f:
+                    np.float32(202021.25).tofile(f)
+                    np.array([w, h], np.int32).tofile(f)
+                    flow.tofile(f)
+                occ = (rng.random((h, w)) > 0.8).astype(np.uint8) * 255
+                Image.fromarray(occ).save(
+                    os.path.join(mdir, f"frame_{i:04d}.png"))
+
+    def test_sintel_et(self, tmp_path, rng, capsys):
+        from vst_tpu.cli import experiments as cli_exp
+        from vst_tpu.models import rtnstv
+        from vst_tpu.train.checkpoint import save_params
+
+        self._make_sintel(str(tmp_path / "sintel"), rng)
+        weights = str(tmp_path / "w.npz")
+        save_params(rtnstv.init_stylizing_network(0), weights)
+        out = str(tmp_path / "et.csv")
+        cli_exp.main(["sintel-et", "--weights", weights,
+                      "--sintel", str(tmp_path / "sintel"),
+                      "--scenes", "alley_1", "--out", out])
+        assert os.path.exists(out)
+
+    def test_sintel_ada_gt_flow(self, tmp_path, rng):
+        from vst_tpu.cli import experiments as cli_exp
+        from vst_tpu.models import adaattn
+        from vst_tpu.train.checkpoint import save_params
+
+        self._make_sintel(str(tmp_path / "sintel"), rng, hw=(64, 64))
+        weights = str(tmp_path / "ada.npz")
+        save_params(adaattn.init_stylizing_network(0), weights)
+        style = _png(str(tmp_path / "style.png"), rng, (64, 64))
+        out = str(tmp_path / "ada.csv")
+        cli_exp.main(["sintel-ada", "--weights", weights, "--style", style,
+                      "--sintel", str(tmp_path / "sintel"),
+                      "--scenes", "alley_1", "--size", "64", "64",
+                      "--out", out])
+        assert os.path.exists(out)

@@ -49,6 +49,27 @@ def build_parser():
     pe.add_argument("--scenes", nargs="*", default=["alley_1"])
     pe.add_argument("--out", default="./results/sintel_et.csv")
 
+    pa = sub.add_parser("sintel-ada",
+                        help="AdaAttN Sintel masked warped error "
+                             "(exps_sintel.py)")
+    pa.add_argument("--weights", required=True)
+    pa.add_argument("--style", required=True)
+    pa.add_argument("--vgg-weights")
+    pa.add_argument("--sintel", required=True)
+    pa.add_argument("--scenes", nargs="*",
+                    default=["alley_1", "ambush_4", "bandage_1",
+                             "market_2", "temple_2"])
+    pa.add_argument("--activation", default="cosine")
+    pa.add_argument("--flow-engine", default="gt",
+                    choices=["gt", "farneback", "raft"],
+                    help="gt = Sintel GT .flo + occlusion masks; raft needs "
+                         "--raft-weights (reference used RAFT)")
+    pa.add_argument("--raft-weights")
+    pa.add_argument("--metric", default="mae", choices=["mae", "mse"])
+    pa.add_argument("--size", type=int, nargs=2, default=[256, 512],
+                    metavar=("H", "W"))
+    pa.add_argument("--out", default="./results/sintel_results.csv")
+
     pm = sub.add_parser("mse", help="ReCoNet video temporal MSE")
     pm.add_argument("--model", default="reconet",
                     choices=["reconet", "sd1", "sd2"])
@@ -207,6 +228,85 @@ def run_sintel_et(args):
     print(args.out)
 
 
+def run_sintel_ada(args):
+    import jax.numpy as jnp
+
+    from vst_tpu.cli.common import load_image_255, load_vgg_weights, load_weights
+    from vst_tpu.data.datasets import list_files, load_image
+    from vst_tpu.data.flow_np import flow_warp_mask_np, resize_flow_np
+    from vst_tpu.data.flowio import read_sintel_flo
+    from vst_tpu.eval.temporal import sintel_optical_loss_step
+    from vst_tpu.infer.image import stylize_adaattn
+
+    h, w = args.size
+    params = load_weights(args.weights)
+    vgg_params = load_vgg_weights(args.vgg_weights, "vgg19_adaattn")
+    style = jnp.asarray(load_image_255(args.style, (w, h))[None])
+
+    def flows_and_mask(scene, idx, frames):
+        """Returns (swap, flow, mask): with GT forward flow the roles swap —
+        warp(cs2, flow_fwd) reconstructs frame 1 (as RTNSTV's Et does,
+        RTNSTV/utilities.py:232-236); with estimated backward flow the
+        reference warps cs1 toward frame 2 (exps_sintel.py:92)."""
+        if args.flow_engine == "gt":
+            flo = list_files(os.path.join(args.sintel, "training/flow", scene))
+            occ = list_files(os.path.join(args.sintel, "training/occlusions",
+                                          scene))
+            flow01 = resize_flow_np(read_sintel_flo(flo[idx]), (h, w))
+            mask = (load_image(occ[idx], (w, h), mode="L")[..., 0] == 0)
+            return True, flow01, mask.astype(np.float32)
+        if args.flow_engine == "raft":
+            import jax
+
+            from vst_tpu.models.raft import raft_flow
+
+            rp = load_weights(args.raft_weights)
+            a = jnp.asarray(frames[idx][None] / 127.5 - 1.0)
+            b = jnp.asarray(frames[idx + 1][None] / 127.5 - 1.0)
+            f01 = np.asarray(raft_flow(rp, a, b))[0]
+            f10 = np.asarray(raft_flow(rp, b, a))[0]
+            return False, f10, flow_warp_mask_np(f01, f10)
+        import cv2
+
+        ga = cv2.cvtColor(frames[idx].astype(np.uint8), cv2.COLOR_RGB2GRAY)
+        gb = cv2.cvtColor(frames[idx + 1].astype(np.uint8),
+                          cv2.COLOR_RGB2GRAY)
+        f01 = cv2.calcOpticalFlowFarneback(ga, gb, None, 0.5, 5, 15, 3, 5,
+                                           1.2, 0)
+        f10 = cv2.calcOpticalFlowFarneback(gb, ga, None, 0.5, 5, 15, 3, 5,
+                                           1.2, 0)
+        return False, f10, flow_warp_mask_np(f01, f10)
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    rows = []
+    for scene in args.scenes:
+        frame_files = list_files(
+            os.path.join(args.sintel, "training/final", scene))
+        frames = [load_image(p, (w, h)) for p in frame_files]
+        total, count = 0.0, 0
+        for i in range(len(frames) - 1):
+            cs1 = stylize_adaattn(vgg_params, params,
+                                  jnp.asarray(frames[i][None]), style,
+                                  args.activation) / 255.0
+            cs2 = stylize_adaattn(vgg_params, params,
+                                  jnp.asarray(frames[i + 1][None]), style,
+                                  args.activation) / 255.0
+            swap, flow, mask = flows_and_mask(scene, i, frames)
+            src, dst = (cs2, cs1) if swap else (cs1, cs2)
+            total += float(sintel_optical_loss_step(
+                src, dst, jnp.asarray(flow)[None],
+                jnp.asarray(mask)[None], use_mae=(args.metric == "mae")))
+            count += 1
+        loss = float(np.sqrt(total) / count)
+        rows.append({"Scene": scene, "Optical Flow Loss": loss})
+        print(scene, loss)
+    with open(args.out, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=["Scene", "Optical Flow Loss"])
+        writer.writeheader()
+        writer.writerows(rows)
+    print(args.out)
+
+
 def run_mse(args):
     from vst_tpu.cli.common import load_weights
     from vst_tpu.eval.temporal import temporal_mse
@@ -221,8 +321,8 @@ def run_mse(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    {"image": run_image, "video": run_video,
-     "sintel-et": run_sintel_et, "mse": run_mse}[args.cmd](args)
+    {"image": run_image, "video": run_video, "sintel-et": run_sintel_et,
+     "sintel-ada": run_sintel_ada, "mse": run_mse}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -12,6 +12,8 @@
   Also returns the flow-MSE term (exps_video.py:114).
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -85,6 +87,23 @@ def warping_error_step(cs1, cs2, flow_10, mask):
     loss = jnp.sum(cmask * jnp.square(cs2.astype(jnp.float32) -
                                       warped.astype(jnp.float32)))
     return loss / (c * h * w)
+
+
+@functools.partial(jax.jit, static_argnames=("use_mae",))
+def sintel_optical_loss_step(cs1_01, cs2_01, flow_10, mask, use_mae=True):
+    """One AdaAttN-Sintel frame-pair term (AdaAttN/exps_sintel.py:91-101).
+
+    cs1_01/cs2_01: (1, H, W, 3) stylized frames scaled to 0–1;
+    flow_10 backward flow; mask (1, H, W).  Accumulate the returned values
+    and finish with sqrt(total)/count (exps_sintel.py:110).
+    ``use_mae=False`` selects the commented MSE variant.
+    """
+    warped = warp(cs1_01, flow_10)
+    cmask = jnp.broadcast_to(mask[..., None], cs1_01.shape)
+    diff = cs2_01.astype(jnp.float32) - warped.astype(jnp.float32)
+    err = jnp.abs(diff) if use_mae else jnp.square(diff)
+    n, h, w, c = cs1_01.shape
+    return jnp.sum(cmask * err) / (c * h * w)
 
 
 def flow_mse(flow_a, flow_b) -> float:
