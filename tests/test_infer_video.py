@@ -1,0 +1,97 @@
+"""StreamingStylizer window semantics vs the reference Inference iterator
+(ReCoNet/utilities.py:179-236), using synthetic frame sources."""
+
+import numpy as np
+
+from vst_tpu.infer.video import AdaAttNVideoStylizer, StreamingStylizer
+
+
+def frames(n, h=4, w=5):
+    return [np.full((h, w, 3), float(i), np.float32) for i in range(n)]
+
+
+def reference_windows(frame_list, input_frame_num, first_frame=None):
+    """Re-derivation of the reference's sliding-window schedule: fill a
+    window of `input_frame_num` frames, emit, then advance one frame."""
+    if first_frame is None or first_frame < input_frame_num:
+        first_frame = input_frame_num
+    skipped = frame_list[first_frame - input_frame_num:]
+    out = []
+    window = skipped[:input_frame_num]
+    if len(window) < input_frame_num:
+        return out
+    rest = skipped[input_frame_num:]
+    while True:
+        out.append(np.concatenate(window, axis=-1))
+        if not rest:
+            return out
+        window = window[1:] + [rest.pop(0)]
+
+
+class TestStreamingStylizer:
+    def _run(self, n_frames, input_frame_num, batch_size, first_frame=None):
+        seen = []
+
+        def model_fn(batch):
+            seen.extend(list(batch))
+            return batch[..., -3:]  # identity on the newest frame
+
+        out = list(StreamingStylizer(
+            model_fn, iter(frames(n_frames)), input_frame_num, batch_size,
+            first_frame, output="float"))
+        return out, seen
+
+    def test_single_frame_windows(self):
+        out, seen = self._run(6, 1, 2)
+        assert len(out) == 6
+        ref = reference_windows(frames(6), 1)
+        assert len(seen) == len(ref)
+        for a, b in zip(seen, ref):
+            np.testing.assert_array_equal(a, b)
+
+    def test_multi_frame_windows(self):
+        out, seen = self._run(7, 3, 2)
+        ref = reference_windows(frames(7), 3)
+        assert len(seen) == len(ref) == 5
+        for a, b in zip(seen, ref):
+            np.testing.assert_array_equal(a, b)
+        # outputs correspond to the newest frame of each window
+        for i, o in enumerate(out):
+            np.testing.assert_array_equal(o, frames(7)[i + 2])
+
+    def test_first_frame_skip(self):
+        out, seen = self._run(8, 2, 3, first_frame=4)
+        ref = reference_windows(frames(8), 2, first_frame=4)
+        assert len(seen) == len(ref)
+        for a, b in zip(seen, ref):
+            np.testing.assert_array_equal(a, b)
+
+    def test_batch_boundary_conditions(self):
+        for n in (1, 2, 3, 4, 5, 9):
+            for bs in (1, 2, 4):
+                out, seen = self._run(n, 1, bs)
+                assert len(out) == n, (n, bs)
+
+    def test_uint8_conversion(self):
+        out = list(StreamingStylizer(
+            lambda b: b, iter(frames(3)), 1, 2, output="rgb_uint8"))
+        assert out[0].dtype == np.uint8
+
+
+class TestAdaAttNStreaming:
+    def test_batching(self, rng):
+        import jax.numpy as jnp
+
+        from vst_tpu.models import adaattn, vgg
+
+        vp = vgg.init_vgg19_adaattn(0)
+        ap = adaattn.init_stylizing_network(1)
+        style = jnp.asarray((rng.random((1, 64, 64, 3)) * 255)
+                            .astype(np.float32))
+        stylizer = AdaAttNVideoStylizer(vp, ap, style, "cosine", batch_size=2)
+        ins = [(rng.random((64, 64, 3)) * 255).astype(np.float32)
+               for _ in range(5)]
+        outs = list(stylizer.stylize_frames(iter(ins)))
+        assert len(outs) == 5
+        assert outs[0].shape == (64, 64, 3)
+        assert outs[0].dtype == np.uint8

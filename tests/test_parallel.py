@@ -85,3 +85,26 @@ class TestSpatialSharding:
 
         out = np.asarray(infer(params_r, xs))
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
+
+
+class TestSequenceParallelAttention:
+    def test_matches_single_device_linear_form(self, rng):
+        from vst_tpu.models.adaattn import attention_moments
+        from vst_tpu.parallel.attention import sharded_cosine_attention_moments
+
+        b, n, m, d, c = 1, 64, 64, 24, 16
+        q = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, m, d)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, m, c)).astype(np.float32))
+        m1_ref, m2_ref = attention_moments(q, k, v, "cosine")
+
+        mesh = make_mesh(8, ("data",))
+        spec = NamedSharding(mesh, P(None, "data", None))
+        qs = jax.device_put(q, spec)
+        ks = jax.device_put(k, spec)
+        vs = jax.device_put(v, spec)
+        m1, m2 = sharded_cosine_attention_moments(mesh, qs, ks, vs)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m1_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m2_ref),
+                                   rtol=1e-4, atol=1e-5)

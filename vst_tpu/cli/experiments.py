@@ -31,6 +31,9 @@ def build_parser():
     pi.add_argument("--activation", default="softmax")
     pi.add_argument("--size", type=int, nargs=2, default=[512, 512],
                     metavar=("H", "W"))
+    pi.add_argument("--lpips-weights", help="vendored LPIPS linear heads")
+    pi.add_argument("--vgg16-weights", help="LPIPS trunk")
+    pi.add_argument("--inception-weights", help="enables SIFID columns")
     pi.add_argument("--out", default="./results/results.csv")
 
     pv = sub.add_parser("video", help="warping error + flow MSE over a video")
@@ -119,6 +122,22 @@ def run_image(args):
 
     params = load_weights(args.weights)
     vgg_params = load_vgg_weights(args.vgg_weights, "vgg19_adaattn")
+
+    lpips_fn = sifid_fn = None
+    if args.vgg16_weights and args.lpips_weights:
+        from vst_tpu.eval.lpips import (
+            image_to_lpips_input, load_linear_heads, lpips_vgg)
+
+        lp = load_weights(args.vgg16_weights)
+        lp.update(load_linear_heads(args.lpips_weights))
+        lpips_fn = lambda a, b: float(lpips_vgg(
+            lp, image_to_lpips_input(a), image_to_lpips_input(b))[0])
+    if args.inception_weights:
+        from vst_tpu.eval.sifid import sifid as sifid_metric
+
+        ip = load_weights(args.inception_weights)
+        sifid_fn = lambda a, b: sifid_metric(ip, a, b)
+
     h, w = args.size
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     rows = []
@@ -134,6 +153,11 @@ def run_image(args):
                         _metric_row(cs, np.asarray(s)[0], vgg_params).items()})
             row.update({f"content_{k}": v for k, v in
                         _metric_row(cs, np.asarray(c)[0], vgg_params).items()})
+            if lpips_fn:
+                row["lpips_content"] = lpips_fn(cs, np.asarray(c)[0])
+                row["lpips_style"] = lpips_fn(cs, np.asarray(s)[0])
+            if sifid_fn:
+                row["sifid_style"] = sifid_fn(cs, np.asarray(s)[0])
             rows.append(row)
             print(row["content"], row["style"], f"ssim={row['style_ssim']:.4f}")
     if rows:
