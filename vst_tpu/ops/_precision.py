@@ -15,3 +15,15 @@ def matmul_precision(dtype) -> lax.Precision:
     if dtype == jnp.float32 or dtype == jnp.float64:
         return lax.Precision.HIGHEST
     return lax.Precision.DEFAULT
+
+
+def conv_accum_dtype(dtype):
+    """preferred_element_type for convs: full-f32 accumulation for float32
+    inputs; None for bf16 (the MXU still accumulates f32 internally and
+    rounds the output) — conv_general_dilated's gradient rejects a
+    preferred_element_type that differs from the operand dtype."""
+    import jax.numpy as jnp
+
+    if dtype == jnp.float32 or dtype == jnp.float64:
+        return jnp.float32
+    return None

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from vst_tpu.ops._precision import matmul_precision
+from vst_tpu.ops._precision import conv_accum_dtype, matmul_precision
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
@@ -46,7 +46,7 @@ def conv2d(
         window_strides=(stride, stride),
         padding=pad,
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=conv_accum_dtype(x.dtype),
         precision=matmul_precision(x.dtype),
     )
     if b is not None:
@@ -82,7 +82,7 @@ def conv_transpose2d(
         padding=[(lo, hi), (lo, hi)],
         lhs_dilation=(stride, stride),
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=conv_accum_dtype(x.dtype),
         precision=matmul_precision(x.dtype),
     )
     if b is not None:
@@ -140,7 +140,7 @@ def conv2d_polyphase(
                                                 f * f * cin)
     out = lax.conv_general_dilated(
         xs, w2, (1, 1), "VALID", dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=conv_accum_dtype(x.dtype),
         precision=matmul_precision(x.dtype),
     )
     # depth-to-space output
@@ -185,7 +185,7 @@ def conv2d_nearest_up2(
 
     out = lax.conv_general_dilated(
         x_pad, w2, (1, 1), "VALID", dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=conv_accum_dtype(x.dtype),
         precision=matmul_precision(x.dtype),
     )
     out = out.reshape(n, h, ww_, 2, 2, cout)
@@ -227,7 +227,7 @@ def conv2d_k3s2_s2d(
 
     out = lax.conv_general_dilated(
         xs, w2, (1, 1), "VALID", dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=conv_accum_dtype(x.dtype),
         precision=matmul_precision(x.dtype),
     )
     if b is not None:

@@ -30,6 +30,17 @@ RECONET_FORWARD = {
 }
 
 
+def _cast_tree(tree, dtype_name: str):
+    """Mixed precision: cast params/batch to cfg.dtype inside the loss
+    (gradients flow through the cast back to the f32 master params)."""
+    if dtype_name in (None, "float32"):
+        return tree
+    dtype = jnp.dtype(dtype_name)
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
 # ------------------------------------------------------- style precompute
 
 def reconet_style_grams(vgg_params, style_255):
@@ -96,8 +107,12 @@ def _reconet_losses(cfg, vgg_params, style_grams, outs1, outs2,
 
 def make_reconet_flow_step(cfg, vgg_params, style_grams, optimizer):
     """ReCoNet single/multi-frame flow trainer (train_candy.py:32-170)."""
+    vgg_params = _cast_tree(vgg_params, cfg.dtype)
 
     def loss_fn(params, img1, img2, flow, mask):
+        params = _cast_tree(params, cfg.dtype)
+        img1 = _cast_tree(img1, cfg.dtype)
+        img2 = _cast_tree(img2, cfg.dtype)
         _, fmap1, styled1 = reconet_m.reconet(params, img1)
         _, fmap2, styled2 = reconet_m.reconet(params, img2)
         return _reconet_losses(cfg, vgg_params, style_grams,
@@ -117,7 +132,11 @@ def make_reconet_flow_step(cfg, vgg_params, style_grams, optimizer):
 def make_reconet_coco_step(cfg, vgg_params, style_grams, optimizer):
     """Image-only content+style trainer (train_coco2014.py:28-105)."""
 
+    vgg_params = _cast_tree(vgg_params, cfg.dtype)
+
     def loss_fn(params, img):
+        params = _cast_tree(params, cfg.dtype)
+        img = _cast_tree(img, cfg.dtype)
         *_, styled = reconet_m.reconet(params, img)
         sn = vgg_normalize(styled)
         inorm = vgg_normalize(img)
@@ -150,7 +169,13 @@ def make_reconet_distill_step(cfg, vgg_params, style_grams, teacher_params,
     teacher_fwd = RECONET_FORWARD[cfg.teacher]
     student_fwd = RECONET_FORWARD[cfg.student]
 
+    vgg_params = _cast_tree(vgg_params, cfg.dtype)
+    teacher_params = _cast_tree(teacher_params, cfg.dtype)
+
     def loss_fn(params, img1, img2, flow, mask):
+        params = _cast_tree(params, cfg.dtype)
+        img1 = _cast_tree(img1, cfg.dtype)
+        img2 = _cast_tree(img2, cfg.dtype)
         t1 = teacher_fwd(teacher_params, img1)
         t2 = teacher_fwd(teacher_params, img2)
         s1 = student_fwd(params, img1)
@@ -191,7 +216,12 @@ def make_reconet_distill_step(cfg, vgg_params, style_grams, teacher_params,
 def make_rtnstv_step(cfg, vgg_params, style_grams, optimizer):
     """RTNSTV trainer (RTNSTV/train.py:63-158)."""
 
+    vgg_params = _cast_tree(vgg_params, cfg.dtype)
+
     def loss_fn(params, img1, img2, flow, mask):
+        params = _cast_tree(params, cfg.dtype)
+        img1 = _cast_tree(img1, cfg.dtype)
+        img2 = _cast_tree(img2, cfg.dtype)
         styled1 = rtnstv_m.stylizing_network(params, img1)
         styled2 = rtnstv_m.stylizing_network(params, img2)
         cf1 = vgg_m.vgg19_rtnstv_features(vgg_params, img1)
@@ -246,7 +276,12 @@ def _adaattn_gs_lf(cfg, params, vgg_params, fc, fs, cs):
 def make_adaattn_image_step(cfg, vgg_params, optimizer):
     """AdaAttN image-mode trainer (AdaAttN/train_image.py:25-125)."""
 
+    vgg_params = _cast_tree(vgg_params, cfg.dtype)
+
     def loss_fn(params, content, style):
+        params = _cast_tree(params, cfg.dtype)
+        content = _cast_tree(content, cfg.dtype)
+        style = _cast_tree(style, cfg.dtype)
         fc = vgg_m.vgg19_adaattn_features(vgg_params, content)
         fs = vgg_m.vgg19_adaattn_features(vgg_params, style)
         cs = adaattn_m.stylizing_network(params, fc, fs, cfg.activation)
@@ -271,7 +306,13 @@ def make_adaattn_video_step(cfg, vgg_params, optimizer):
     consecutive-frame pair on relu2_1/3_1/4_1 (:110-115).
     """
 
+    vgg_params = _cast_tree(vgg_params, cfg.dtype)
+
     def loss_fn(params, content1, content2, style):
+        params = _cast_tree(params, cfg.dtype)
+        content1 = _cast_tree(content1, cfg.dtype)
+        content2 = _cast_tree(content2, cfg.dtype)
+        style = _cast_tree(style, cfg.dtype)
         fc1 = vgg_m.vgg19_adaattn_features(vgg_params, content1)
         fc2 = vgg_m.vgg19_adaattn_features(vgg_params, content2)
         fs = vgg_m.vgg19_adaattn_features(vgg_params, style)
