@@ -204,3 +204,19 @@ class TestLPIPS:
         for k, c in enumerate(LPIPS_CHANNELS):
             assert heads[f"lin{k}.weight"].shape == (1, 1, c, 1)
             assert np.all(np.asarray(heads[f"lin{k}.weight"]) >= 0)
+
+
+class TestFlowViz:
+    def test_visualize_flow(self, rng):
+        from vst_tpu.utils.flowviz import visualize_flow
+
+        flow = (rng.standard_normal((12, 16, 2)) * 5).astype(np.float32)
+        img = visualize_flow(flow)
+        assert img.shape == (12, 16, 3)
+        assert img.dtype == np.uint8
+        # rightward flow (angle 0) maps to red-dominant hue
+        right = np.zeros((4, 4, 2), np.float32)
+        right[..., 0] = 5.0
+        right[0, 0] = 0  # one zero pixel so min-max normalization spreads
+        rgb = visualize_flow(right)
+        assert rgb[2, 2, 0] > rgb[2, 2, 1] and rgb[2, 2, 0] > rgb[2, 2, 2]
