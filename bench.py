@@ -22,9 +22,20 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """The axon tunnel's server-side compiles are slow and variable (hundreds
+    of seconds); the persistent cache makes repeat runs sub-second."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from vst_tpu.models import reconet
 

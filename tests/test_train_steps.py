@@ -1,6 +1,7 @@
 """Smoke + sanity tests for every jitted train step (tiny shapes, CPU)."""
 
 import dataclasses
+import pytest
 
 import numpy as np
 import jax
@@ -176,3 +177,46 @@ class TestLossDecreases:
             state, m = step(state, batch)
             losses_seen.append(float(m["loss"]))
         assert losses_seen[-1] < losses_seen[0]
+
+
+class TestRemat:
+    def test_remat_matches_no_remat(self, rng):
+        """jax.checkpoint must not change the step's numerics."""
+        cfg_a = dataclasses.replace(C.RECONET_CANDY, img_size=(24, 32))
+        cfg_b = dataclasses.replace(cfg_a, remat=True)
+        vgg_params = vgg.init_vgg16_reconet(KEY)
+        grams = steps.reconet_style_grams(vgg_params, image(rng, 1, 24, 32))
+        opt = make_optimizer(cfg_a.lr)
+        img1, img2 = image(rng, 2, 24, 32), image(rng, 2, 24, 32)
+        flow, mask = flow_batch(rng, 2, 24, 32)
+        batch = (img1, img2, flow, mask)
+        # Compare loss and raw gradients (post-Adam params amplify fp noise
+        # to ±lr); remat must reproduce both.
+        params = reconet.init_reconet(KEY)
+        out = {}
+        for name, cfg in (("plain", cfg_a), ("remat", cfg_b)):
+            fwd = steps._maybe_remat(reconet.reconet, cfg)
+
+            def loss_fn(p):
+                _, f1, s1 = fwd(p, img1)
+                _, f2, s2 = fwd(p, img2)
+                total, _ = steps._reconet_losses(
+                    cfg, vgg_params, grams, (f1, s1), (f2, s2),
+                    img1, img2, flow, mask)
+                return total
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            out[name] = (float(loss), grads)
+        assert out["plain"][0] == pytest.approx(out["remat"][0], rel=1e-6)
+        # Compare the GLOBAL gradient: per-param comparison is meaningless
+        # for biases of convs feeding InstanceNorm (the loss is invariant to
+        # them, so their exact gradient is 0 and the computed value is
+        # cancellation noise at the reference's 1e12 loss scales).
+        ga, gb = out["plain"][1], out["remat"][1]
+        va = np.concatenate([np.asarray(ga[k], np.float64).ravel()
+                             for k in sorted(ga)])
+        vb = np.concatenate([np.asarray(gb[k], np.float64).ravel()
+                             for k in sorted(gb)])
+        rel = np.linalg.norm(va - vb) / np.linalg.norm(va)
+        cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert rel < 1e-4 and cos > 0.999999, (rel, cos)

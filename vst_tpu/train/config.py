@@ -35,6 +35,7 @@ class ReCoNetFlowConfig:
     img_size: tuple[int, int] = (360, 640)
     use_ftl: bool = True
     dtype: str = "float32"
+    remat: bool = False     # jax.checkpoint the stylizer+VGG forwards
 
 
 RECONET_CANDY = ReCoNetFlowConfig()
@@ -53,6 +54,7 @@ class ReCoNetCocoConfig:
     epochs: int = 10
     img_size: tuple[int, int] = (256, 256)
     dtype: str = "float32"
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +90,7 @@ class ReCoNetDistillConfig:
     input_frame_num: int = 1
     img_size: tuple[int, int] = (360, 640)
     dtype: str = "float32"
+    remat: bool = False
 
 
 DISTILL_SD1 = ReCoNetDistillConfig()
@@ -106,6 +109,7 @@ class RTNSTVConfig:
     epochs: int = 10
     img_size: tuple[int, int] = (360, 640)
     dtype: str = "float32"
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,6 +122,7 @@ class AdaAttNImageConfig:
     activation: str = "softmax"
     crop_size: tuple[int, int] = (256, 256)
     dtype: str = "float32"
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,3 +136,4 @@ class AdaAttNVideoConfig:
     activation: str = "cosine"
     frame_size: tuple[int, int] = (256, 512)
     dtype: str = "float32"
+    remat: bool = False

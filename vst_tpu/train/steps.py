@@ -41,6 +41,14 @@ def _cast_tree(tree, dtype_name: str):
         if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
 
+
+def _maybe_remat(fn, cfg):
+    """Optional rematerialization: trade recompute for activation memory
+    (jax.checkpoint over the stylizer/VGG forwards) — lets larger batches or
+    resolutions fit HBM (SURVEY.md goal: remat as a first-class knob)."""
+    return jax.checkpoint(fn) if getattr(cfg, "remat", False) else fn
+
+
 # ------------------------------------------------------- style precompute
 
 def reconet_style_grams(vgg_params, style_255):
@@ -108,13 +116,14 @@ def _reconet_losses(cfg, vgg_params, style_grams, outs1, outs2,
 def make_reconet_flow_step(cfg, vgg_params, style_grams, optimizer):
     """ReCoNet single/multi-frame flow trainer (train_candy.py:32-170)."""
     vgg_params = _cast_tree(vgg_params, cfg.dtype)
+    fwd = _maybe_remat(reconet_m.reconet, cfg)
 
     def loss_fn(params, img1, img2, flow, mask):
         params = _cast_tree(params, cfg.dtype)
         img1 = _cast_tree(img1, cfg.dtype)
         img2 = _cast_tree(img2, cfg.dtype)
-        _, fmap1, styled1 = reconet_m.reconet(params, img1)
-        _, fmap2, styled2 = reconet_m.reconet(params, img2)
+        _, fmap1, styled1 = fwd(params, img1)
+        _, fmap2, styled2 = fwd(params, img2)
         return _reconet_losses(cfg, vgg_params, style_grams,
                                (fmap1, styled1), (fmap2, styled2),
                                img1, img2, flow, mask)
@@ -222,8 +231,9 @@ def make_rtnstv_step(cfg, vgg_params, style_grams, optimizer):
         params = _cast_tree(params, cfg.dtype)
         img1 = _cast_tree(img1, cfg.dtype)
         img2 = _cast_tree(img2, cfg.dtype)
-        styled1 = rtnstv_m.stylizing_network(params, img1)
-        styled2 = rtnstv_m.stylizing_network(params, img2)
+        fwd = _maybe_remat(rtnstv_m.stylizing_network, cfg)
+        styled1 = fwd(params, img1)
+        styled2 = fwd(params, img2)
         cf1 = vgg_m.vgg19_rtnstv_features(vgg_params, img1)
         sf1 = vgg_m.vgg19_rtnstv_features(vgg_params, styled1)
         cf2 = vgg_m.vgg19_rtnstv_features(vgg_params, img2)
