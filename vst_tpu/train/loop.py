@@ -55,6 +55,7 @@ def run_training(
     sharding=None,
     log_fn=print,
     loss_plots_dir: str | None = None,
+    save_every_steps: int = 0,
 ) -> TrainState:
     """Run ``epochs`` epochs of ``step_fn(state, batch)`` over ``dataset``.
 
@@ -73,6 +74,11 @@ def run_training(
         for i, batch in enumerate(device_prefetch(iter(loader), prefetch,
                                                   sharding)):
             state, metrics = step_fn(state, batch)
+            if save_every_steps and (i + 1) % save_every_steps == 0:
+                # mid-epoch durability (the reference only saves per epoch
+                # and loses partial progress on failure — SURVEY.md §5.3/5.4)
+                ckpt.save_state(state, os.path.join(
+                    out_dir, model_name + "_last_state.pkl"))
             if log_every and (i % log_every == 0 or i == n_batches - 1):
                 vals = {k: float(v) for k, v in metrics.items()}
                 for k, v in vals.items():
