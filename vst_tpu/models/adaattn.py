@@ -147,9 +147,12 @@ def attention_moments(q, k, v, activation: str, mode: str = "auto",
             from vst_tpu.kernels import softmax_attention_moments_pallas
 
             return softmax_attention_moments_pallas(q, k, v)
-        if mode == "exact" or (mode == "auto" and n * m <= 4096 * 4096):
+        if mode in ("exact",) or (mode in ("auto", "train")
+                                  and n * m <= 4096 * 4096):
             return _attention_moments_softmax_exact(q, k, v, prec)
         if mode == "auto" and jax.default_backend() == "tpu":
+            # inference fast path; the Pallas kernel has no VJP, so the
+            # "train" mode below never selects it
             from vst_tpu.kernels import softmax_attention_moments_pallas
 
             return softmax_attention_moments_pallas(q, k, v)

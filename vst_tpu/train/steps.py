@@ -276,7 +276,7 @@ def _adaattn_gs_lf(cfg, params, vgg_params, fc, fs, cs):
         c_1x = feature_down_sample(fcl, idx)
         s_1x = feature_down_sample(fsl, idx)
         target = adaattn_m.adaattn_no_conv(
-            fcl[idx], fsl[idx], c_1x, s_1x, cfg.activation)
+            fcl[idx], fsl[idx], c_1x, s_1x, cfg.activation, mode="train")
         loss_lf = loss_lf + losses.local_feature_loss(
             fcs[f"relu{i + 3}_1"], target)
     loss_lf = loss_lf * cfg.lambda_l
@@ -294,7 +294,8 @@ def make_adaattn_image_step(cfg, vgg_params, optimizer):
         style = _cast_tree(style, cfg.dtype)
         fc = vgg_m.vgg19_adaattn_features(vgg_params, content)
         fs = vgg_m.vgg19_adaattn_features(vgg_params, style)
-        cs = adaattn_m.stylizing_network(params, fc, fs, cfg.activation)
+        cs = adaattn_m.stylizing_network(params, fc, fs, cfg.activation,
+                                         mode="train")
         _, loss_gs, loss_lf = _adaattn_gs_lf(cfg, params, vgg_params, fc, fs, cs)
         total = loss_gs + loss_lf
         return total, {"loss_gs": loss_gs, "loss_lf": loss_lf, "loss": total}
@@ -326,8 +327,10 @@ def make_adaattn_video_step(cfg, vgg_params, optimizer):
         fc1 = vgg_m.vgg19_adaattn_features(vgg_params, content1)
         fc2 = vgg_m.vgg19_adaattn_features(vgg_params, content2)
         fs = vgg_m.vgg19_adaattn_features(vgg_params, style)
-        cs1 = adaattn_m.stylizing_network(params, fc1, fs, cfg.activation)
-        cs2 = adaattn_m.stylizing_network(params, fc2, fs, cfg.activation)
+        cs1 = adaattn_m.stylizing_network(params, fc1, fs, cfg.activation,
+                                          mode="train")
+        cs2 = adaattn_m.stylizing_network(params, fc2, fs, cfg.activation,
+                                          mode="train")
         fcs1, loss_gs, loss_lf = _adaattn_gs_lf(
             cfg, params, vgg_params, fc1, fs, cs1)
         fcs2 = vgg_m.vgg19_adaattn_features(vgg_params, cs2)
