@@ -140,3 +140,70 @@ class TestExperimentsCLI:
                       "--scenes", "alley_1", "--size", "64", "64",
                       "--out", out])
         assert os.path.exists(out)
+
+
+class TestInferVideoCLI:
+    def _make_video(self, path, rng, n=8, size=(64, 48)):
+        import cv2
+
+        writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                                 size)
+        for _ in range(n):
+            frame = (rng.random((size[1], size[0], 3)) * 255).astype(np.uint8)
+            writer.write(frame)
+        writer.release()
+
+    def test_reconet_video(self, tmp_path, rng, capsys):
+        from vst_tpu.cli import infer_video as cli_iv
+        from vst_tpu.models import reconet
+        from vst_tpu.train.checkpoint import save_params
+
+        video = str(tmp_path / "in.avi")
+        self._make_video(video, rng)
+        weights = str(tmp_path / "w.npz")
+        save_params(reconet.init_reconet(0), weights)
+        out = str(tmp_path / "out.avi")
+        cli_iv.main(["--model", "reconet", "--weights", weights,
+                     "--video", video, "--size", "64", "48", "--out", out,
+                     "--batch-size", "2"])
+        assert os.path.exists(out)
+        assert "fps" in capsys.readouterr().out
+
+    def test_two_model_compare(self, tmp_path, rng):
+        from vst_tpu.cli import infer_video as cli_iv
+        from vst_tpu.models import reconet
+        from vst_tpu.train.checkpoint import save_params
+
+        video = str(tmp_path / "in.avi")
+        self._make_video(video, rng, n=5)
+        w1 = str(tmp_path / "w1.npz")
+        w2 = str(tmp_path / "w2.npz")
+        save_params(reconet.init_reconet(0), w1)
+        save_params(reconet.init_reconet(1), w2)
+        frames_dir = str(tmp_path / "frames")
+        cli_iv.main(["--model", "reconet", "--weights", w1,
+                     "--weights2", w2, "--video", video,
+                     "--size", "64", "48", "--frames-dir", frames_dir])
+        files = sorted(os.listdir(frames_dir))
+        assert files
+        from PIL import Image as PILImage
+
+        img = PILImage.open(os.path.join(frames_dir, files[0]))
+        assert img.size == (128, 48)  # side-by-side width doubled
+
+    def test_adaattn_video(self, tmp_path, rng):
+        from vst_tpu.cli import infer_video as cli_iv
+        from vst_tpu.models import adaattn
+        from vst_tpu.train.checkpoint import save_params
+
+        video = str(tmp_path / "in.avi")
+        self._make_video(video, rng, n=4, size=(64, 64))
+        weights = str(tmp_path / "ada.npz")
+        save_params(adaattn.init_stylizing_network(0), weights)
+        style = _png(str(tmp_path / "s.png"), rng, (64, 64))
+        frames_dir = str(tmp_path / "frames")
+        cli_iv.main(["--model", "adaattn", "--weights", weights,
+                     "--style", style, "--video", video,
+                     "--size", "64", "64", "--frames-dir", frames_dir,
+                     "--batch-size", "2"])
+        assert len(os.listdir(frames_dir)) == 4

@@ -169,8 +169,26 @@ class AdaAttNVideoStylizer:
 
 
 def write_video(path, frames, fps: float = 30.0):
-    """Encode RGB uint8 frames to a video file (imageio, AdaAttN
-    infer_video.py:79-88)."""
-    import imageio
+    """Encode RGB uint8 frames to a video file (imageio when an ffmpeg
+    backend is present — AdaAttN infer_video.py:79-88 — else cv2)."""
+    frames = list(frames)
+    try:
+        import imageio
 
-    imageio.mimsave(path, list(frames), fps=fps)
+        imageio.mimsave(path, frames, fps=fps)
+        return
+    except Exception:
+        pass
+    import cv2
+
+    h, w = frames[0].shape[:2]
+    fourcc = cv2.VideoWriter_fourcc(
+        *("mp4v" if path.lower().endswith(".mp4") else "MJPG"))
+    writer = cv2.VideoWriter(path, fourcc, fps, (w, h))
+    if not writer.isOpened():  # codec fallback
+        path = path.rsplit(".", 1)[0] + ".avi"
+        writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"),
+                                 fps, (w, h))
+    for f in frames:
+        writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    writer.release()
