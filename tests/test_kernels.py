@@ -49,3 +49,46 @@ class TestFusedAttentionMoments:
             q, k, v, lax.Precision.HIGHEST)
         np.testing.assert_allclose(np.asarray(m1), np.asarray(m1e),
                                    rtol=1e-3, atol=1e-3)
+
+
+class TestFusedAttentionVJP:
+    def test_gradients_match_exact(self, rng):
+        """Custom-VJP kernel grads vs autodiff of the exact formulation."""
+        import jax
+
+        b, n, m, d, c = 1, 200, 260, 48, 32
+        q = _rand(rng, b, n, d)
+        k = _rand(rng, b, m, d)
+        v = _rand(rng, b, m, c)
+        w1 = _rand(rng, b, n, c)
+        w2 = _rand(rng, b, n, c)
+
+        def loss_exact(q, k, v):
+            m1, m2 = _attention_moments_softmax_exact(
+                q, k, v, lax.Precision.HIGHEST)
+            return jnp.sum(m1 * w1) + jnp.sum(m2 * w2)
+
+        def loss_pallas(q, k, v):
+            m1, m2 = softmax_attention_moments_pallas(
+                q, k, v, bq=128, bk=128, interpret=True)
+            return jnp.sum(m1 * w1) + jnp.sum(m2 * w2)
+
+        ge = jax.grad(loss_exact, argnums=(0, 1, 2))(q, k, v)
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        for name, a, bb in zip("qkv", ge, gp):
+            np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                       rtol=2e-3, atol=2e-3,
+                                       err_msg=f"d{name}")
+
+    def test_forward_unchanged_by_vjp_wrapper(self, rng):
+        q = _rand(rng, 2, 300, 64)
+        k = _rand(rng, 2, 520, 64)
+        v = _rand(rng, 2, 520, 32)
+        m1e, m2e = _attention_moments_softmax_exact(
+            q, k, v, lax.Precision.HIGHEST)
+        m1p, m2p = softmax_attention_moments_pallas(
+            q, k, v, bq=128, bk=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(m1p), np.asarray(m1e),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(m2p), np.asarray(m2e),
+                                   rtol=1e-4, atol=1e-4)

@@ -150,9 +150,11 @@ def attention_moments(q, k, v, activation: str, mode: str = "auto",
         if mode in ("exact",) or (mode in ("auto", "train")
                                   and n * m <= 4096 * 4096):
             return _attention_moments_softmax_exact(q, k, v, prec)
-        if mode == "auto" and jax.default_backend() == "tpu":
-            # inference fast path; the Pallas kernel has no VJP, so the
-            # "train" mode below never selects it
+        if mode in ("auto", "train") and jax.default_backend() == "tpu":
+            # the kernel carries a flash-style custom VJP, so it is the
+            # memory-safe path for BOTH inference and training at large
+            # token counts (the chunked path's autodiff residuals would
+            # still materialize all n·m scores)
             from vst_tpu.kernels import softmax_attention_moments_pallas
 
             return softmax_attention_moments_pallas(q, k, v)
