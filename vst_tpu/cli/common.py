@@ -15,6 +15,30 @@ def save_image_255(arr, path):
     Image.fromarray(np.clip(np.asarray(arr), 0, 255).astype(np.uint8)).save(path)
 
 
+MODEL_INIT = {
+    "reconet": ("vst_tpu.models.reconet", "init_reconet"),
+    "sd1": ("vst_tpu.models.reconet", "init_reconet_sd1"),
+    "sd2": ("vst_tpu.models.reconet", "init_reconet_sd2"),
+    "rtnstv": ("vst_tpu.models.rtnstv", "init_stylizing_network"),
+    "adaattn": ("vst_tpu.models.adaattn", "init_stylizing_network"),
+}
+
+
+def check_weights_match(params: dict, model: str, path: str) -> None:
+    """Fail fast with a readable message when a checkpoint doesn't belong to
+    the requested model family."""
+    import importlib
+
+    mod_name, fn_name = MODEL_INIT[model]
+    expected = set(getattr(importlib.import_module(mod_name), fn_name)(0))
+    got = set(params)
+    if not expected <= got:
+        missing = sorted(expected - got)[:3]
+        raise SystemExit(
+            f"error: {path} does not look like a '{model}' checkpoint "
+            f"(missing keys e.g. {missing}); pass the matching --model")
+
+
 def load_weights(path: str) -> dict:
     """Load params from .npz (native) or .pth (reference/torchvision)."""
     if path.endswith(".npz"):

@@ -36,7 +36,10 @@ def _load_uint8(path):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     img0 = _load_uint8(args.path0)
-    img1 = _load_uint8(args.path1)
+    # single-image modes never touch path1 (matching AdaAttN/eval.py, whose
+    # moment/uni/entropy read only path0)
+    img1 = (None if args.mode in ("moment", "uni", "entropy")
+            else _load_uint8(args.path1))
 
     if args.mode == "lpips":
         from vst_tpu.cli.common import load_weights

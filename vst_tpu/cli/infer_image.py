@@ -8,7 +8,9 @@ import os
 
 import jax.numpy as jnp
 
-from vst_tpu.cli.common import load_image_255, load_vgg_weights, load_weights, save_image_255
+from vst_tpu.cli.common import (check_weights_match, load_image_255,
+                                load_vgg_weights, load_weights,
+                                save_image_255)
 from vst_tpu.infer.image import stylize_adaattn, stylize_reconet, stylize_rtnstv
 
 
@@ -40,6 +42,7 @@ def _load(path, size):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     params = load_weights(args.weights)
+    check_weights_match(params, args.model, args.weights)
     os.makedirs(args.out, exist_ok=True)
 
     if args.model in ("reconet", "sd1", "sd2", "rtnstv"):

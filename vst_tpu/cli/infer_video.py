@@ -9,7 +9,8 @@ import os
 
 import numpy as np
 
-from vst_tpu.cli.common import load_image_255, load_vgg_weights, load_weights
+from vst_tpu.cli.common import (check_weights_match, load_image_255,
+                                load_vgg_weights, load_weights)
 from vst_tpu.infer.image import stylize_reconet, stylize_rtnstv
 from vst_tpu.infer.video import (
     AdaAttNVideoStylizer,
@@ -52,6 +53,7 @@ def main(argv=None):
 
     args = build_parser().parse_args(argv)
     params = load_weights(args.weights)
+    check_weights_match(params, args.model, args.weights)
 
     if args.model == "adaattn":
         import jax.numpy as jnp

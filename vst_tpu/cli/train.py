@@ -71,10 +71,15 @@ def _style_tensor(args, size_hw=None):
     return jnp.asarray(load_image_255(args.style, size_wh)[None])
 
 
+PER_STYLE = tuple(t for t in TRAINERS if not t.startswith("adaattn"))
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     t = args.trainer
     name = args.name or t
+    if t in PER_STYLE and not args.style:
+        raise SystemExit(f"error: --style is required for trainer '{t}'")
 
     if t.startswith("reconet") and t not in ("reconet-coco",):
         from vst_tpu.data.datasets import SceneFlowCombined
