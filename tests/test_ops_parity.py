@@ -269,3 +269,17 @@ class TestFusedConvVariants:
         out = conv2d_k3s2_s2d(x, w, b)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestReflectConv:
+    @pytest.mark.parametrize("hw,cin,cout", [((32, 40), 5, 7), ((24, 24), 48, 96)])
+    def test_pad_free_matches_composition(self, rng, hw, cin, cout):
+        from vst_tpu.ops.conv import conv2d_reflect1_k3s2
+
+        x = jnp.asarray(rand(rng, 2, hw[0], hw[1], cin))
+        w = jnp.asarray(rand(rng, 3, 3, cin, cout))
+        b = jnp.asarray(rand(rng, cout))
+        ref = ops.conv2d(ops.reflection_pad2d(x, 1), w, b, stride=2)
+        out = conv2d_reflect1_k3s2(x, w, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)

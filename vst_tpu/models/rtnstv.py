@@ -27,12 +27,18 @@ from vst_tpu.ops import (
     instance_norm,
     reflection_pad2d,
 )
+from vst_tpu.ops.conv import conv2d_reflect1_k3s2
 
 
 def conv_block(params, name, x, k, stride, activation=None):
-    x = reflection_pad2d(x, k // 2)
-    x = conv2d(x, params[f"{name}.conv.weight"],
-               params[f"{name}.conv.bias"], stride=stride)
+    if (k == 3 and stride == 2 and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0):
+        x = conv2d_reflect1_k3s2(x, params[f"{name}.conv.weight"],
+                                 params[f"{name}.conv.bias"])
+    else:
+        x = reflection_pad2d(x, k // 2)
+        x = conv2d(x, params[f"{name}.conv.weight"],
+                   params[f"{name}.conv.bias"], stride=stride)
     x = instance_norm(x, params[f"{name}.norm.weight"],
                       params[f"{name}.norm.bias"])
     if activation is not None:
