@@ -283,3 +283,15 @@ class TestReflectConv:
         out = conv2d_reflect1_k3s2(x, w, b)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("hw", [(32, 40), (7, 9), (3, 3)])
+    def test_s1_pad_free_matches_composition(self, rng, hw):
+        from vst_tpu.ops.conv import conv2d_reflect1_k3s1
+
+        x = jnp.asarray(rand(rng, 2, hw[0], hw[1], 5))
+        w = jnp.asarray(rand(rng, 3, 3, 5, 7))
+        b = jnp.asarray(rand(rng, 7))
+        ref = ops.conv2d(ops.reflection_pad2d(x, 1), w, b, stride=1)
+        out = conv2d_reflect1_k3s1(x, w, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)

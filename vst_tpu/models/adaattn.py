@@ -46,9 +46,13 @@ QK_DIMS = (64 + 128 + 256, 64 + 128 + 256 + 512, 64 + 128 + 256 + 512 + 512)
 
 def _conv(params, name, x, k=3, stride=1):
     """AdaAttN ``Conv``: reflection pad + conv, no norm (network.py:11-21)."""
-    x = reflection_pad2d(x, k // 2)
-    return conv2d(x, params[f"{name}.conv.weight"],
-                  params[f"{name}.conv.bias"], stride=stride)
+    w = params[f"{name}.conv.weight"]
+    b = params[f"{name}.conv.bias"]
+    if k == 3 and stride == 1 and x.shape[1] >= 3 and x.shape[2] >= 3:
+        from vst_tpu.ops.conv import conv2d_reflect1_k3s1
+
+        return conv2d_reflect1_k3s1(x, w, b)
+    return conv2d(reflection_pad2d(x, k // 2), w, b, stride=stride)
 
 
 def _conv_relu(params, name, x):

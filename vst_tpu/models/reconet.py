@@ -29,6 +29,7 @@ from vst_tpu.ops.conv import (
     conv2d_k3s2_s2d,
     conv2d_nearest_up2,
     conv2d_polyphase,
+    conv2d_reflect1_k3s1,
     conv2d_reflect1_k3s2,
 )
 
@@ -43,6 +44,8 @@ def conv_layer(params, name, x, k, stride):
         # pad-copy-free reflect conv (the 50 MB reflect-pad materialization
         # costs more than the conv at 512p)
         return conv2d_reflect1_k3s2(x, w, b)
+    if k == 3 and stride == 1 and x.shape[1] >= 3 and x.shape[2] >= 3:
+        return conv2d_reflect1_k3s1(x, w, b)
     x = reflection_pad2d(x, k // 2)
     out_h, out_w = x.shape[1] - k + 1, x.shape[2] - k + 1
     if (k == 9 and stride == 1 and out_h % 4 == 0 and out_w % 4 == 0):

@@ -27,18 +27,19 @@ from vst_tpu.ops import (
     instance_norm,
     reflection_pad2d,
 )
-from vst_tpu.ops.conv import conv2d_reflect1_k3s2
+from vst_tpu.ops.conv import conv2d_reflect1_k3s1, conv2d_reflect1_k3s2
 
 
 def conv_block(params, name, x, k, stride, activation=None):
+    w = params[f"{name}.conv.weight"]
+    b = params[f"{name}.conv.bias"]
     if (k == 3 and stride == 2 and x.shape[1] % 2 == 0
             and x.shape[2] % 2 == 0):
-        x = conv2d_reflect1_k3s2(x, params[f"{name}.conv.weight"],
-                                 params[f"{name}.conv.bias"])
+        x = conv2d_reflect1_k3s2(x, w, b)
+    elif k == 3 and stride == 1 and x.shape[1] >= 3 and x.shape[2] >= 3:
+        x = conv2d_reflect1_k3s1(x, w, b)
     else:
-        x = reflection_pad2d(x, k // 2)
-        x = conv2d(x, params[f"{name}.conv.weight"],
-                   params[f"{name}.conv.bias"], stride=stride)
+        x = conv2d(reflection_pad2d(x, k // 2), w, b, stride=stride)
     x = instance_norm(x, params[f"{name}.norm.weight"],
                       params[f"{name}.norm.bias"])
     if activation is not None:

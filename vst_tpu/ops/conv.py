@@ -280,6 +280,48 @@ def conv2d_reflect1_k3s2(
     return out.astype(x.dtype)
 
 
+def conv2d_reflect1_k3s1(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """3×3 stride-1 conv with reflection padding 1 — pad-copy-free.
+
+    Equivalent to ``conv2d(reflection_pad2d(x, 1), w)``: interior = VALID
+    conv on x; the four border rows/cols are skinny VALID convs over
+    explicitly reflected 3-wide slabs (corners handled by width-reflecting
+    the top/bottom slabs).  Avoids materializing the padded copy of every
+    residual/decoder activation (e.g. 33 MB per AdaAttN decoder conv at
+    512p).
+    """
+    n, h, ww_, cin = x.shape
+    assert w.shape[0] == 3 and h >= 3 and ww_ >= 3
+
+    def cv(inp):
+        return lax.conv_general_dilated(
+            inp, w, (1, 1), "VALID", dimension_numbers=_DIMNUMS,
+            preferred_element_type=conv_accum_dtype(x.dtype),
+            precision=matmul_precision(x.dtype),
+        )
+
+    main = cv(x)                                        # out[1:-1, 1:-1]
+
+    def wpad(slab):  # reflect cols -1 and W
+        return jnp.concatenate(
+            [slab[:, :, 1:2], slab, slab[:, :, -2:-1]], axis=2)
+
+    top = cv(wpad(jnp.concatenate([x[:, 1:2], x[:, 0:2]], axis=1)))
+    bottom = cv(wpad(jnp.concatenate([x[:, -2:], x[:, -2:-1]], axis=1)))
+    left = cv(jnp.concatenate([x[:, :, 1:2], x[:, :, 0:2]], axis=2))
+    right = cv(jnp.concatenate([x[:, :, -2:], x[:, :, -2:-1]], axis=2))
+
+    mid = jnp.concatenate([left, main, right], axis=2)
+    out = jnp.concatenate([top, mid, bottom], axis=1)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
 def max_pool2d(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
     """Max pooling (VALID), matching ``torch.nn.MaxPool2d(window, stride)``."""
     neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
