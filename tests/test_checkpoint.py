@@ -95,3 +95,19 @@ class TestReferenceCheckpoints:
         np.testing.assert_allclose(
             np.asarray(ours), ref.detach().numpy().transpose(0, 2, 3, 1),
             rtol=2e-3, atol=2e-2)
+
+
+class TestOrbax:
+    def test_round_trip(self, tmp_path):
+        from vst_tpu.train.checkpoint import load_state_orbax, save_state_orbax
+
+        opt = make_optimizer(1e-3)
+        state = create(reconet.init_reconet_sd2(KEY), opt)
+        path = str(tmp_path / "orbax_ckpt")
+        save_state_orbax(state, path)
+        like = create(reconet.init_reconet_sd2(jax.random.PRNGKey(1)), opt)
+        restored = load_state_orbax(path, like)
+        for k in state.params:
+            np.testing.assert_array_equal(np.asarray(restored.params[k]),
+                                          np.asarray(state.params[k]))
+        assert int(restored.step) == int(state.step)

@@ -185,3 +185,35 @@ class TestAdaAttN:
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(m2c), np.asarray(m2e),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestBF16Consistency:
+    """bf16 inference must stay close to f32 (the serving path runs bf16)."""
+
+    def test_reconet_bf16(self, rng):
+        params = reconet.init_reconet(KEY)
+        x = image(rng, 1, 64, 64)
+        f32 = np.asarray(reconet.reconet(params, jnp.asarray(x))[-1])
+        pb = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
+        bf = np.asarray(reconet.reconet(
+            pb, jnp.asarray(x, jnp.bfloat16))[-1], dtype=np.float32)
+        # outputs are 0..255; bf16 carries ~2-3 decimal digits
+        assert np.abs(bf - f32).mean() < 2.0
+        assert np.abs(bf - f32).max() < 30.0
+
+    def test_adaattn_bf16(self, rng):
+        vgg_params = vgg.init_vgg19_adaattn(KEY)
+        params = adaattn.init_stylizing_network(KEY)
+        c = image(rng, 1, 64, 64)
+        s = image(rng, 1, 64, 64)
+        fc = vgg.vgg19_adaattn_features(vgg_params, jnp.asarray(c))
+        fs = vgg.vgg19_adaattn_features(vgg_params, jnp.asarray(s))
+        f32 = np.asarray(adaattn.stylizing_network(params, fc, fs, "cosine"))
+        vb = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), vgg_params)
+        pb = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
+        fcb = vgg.vgg19_adaattn_features(vb, jnp.asarray(c, jnp.bfloat16))
+        fsb = vgg.vgg19_adaattn_features(vb, jnp.asarray(s, jnp.bfloat16))
+        bf = np.asarray(adaattn.stylizing_network(pb, fcb, fsb, "cosine"),
+                        dtype=np.float32)
+        denom = np.abs(f32).mean() + 1e-6
+        assert np.abs(bf - f32).mean() / denom < 0.1

@@ -84,6 +84,29 @@ def partial_init_from(params: dict, donor: dict) -> dict:
     return out
 
 
+def save_state_orbax(state: TrainState, path: str) -> None:
+    """Orbax-backed full-state checkpoint (atomic, async-capable).
+
+    The default ``save_state``/``load_state`` (pickled numpy pytree) has no
+    extra dependencies; this variant integrates with orbax tooling.
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), _to_numpy_tree(state))
+
+
+def load_state_orbax(path: str, like: TrainState) -> TrainState:
+    """Restore an orbax checkpoint; ``like`` supplies the tree structure
+    (e.g. a freshly created TrainState)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.abspath(path),
+                             _to_numpy_tree(like))
+    return jax.tree.map(jnp.asarray, tree)
+
+
 def epoch_checkpoint_name(model_name: str, epoch: int, batch_size: int) -> str:
     """Reference naming convention (e.g. train_candy.py:170)."""
     return f"{model_name}_epoch_{epoch}_batchSize_{batch_size}"
