@@ -108,3 +108,22 @@ class TestSequenceParallelAttention:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(m2), np.asarray(m2_ref),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestMeshStylizer:
+    def test_adaattn_with_mesh_matches_single(self, rng):
+        """Full AdaAttN stylizer with mesh-sharded cosine attention matches
+        the single-device result."""
+        from vst_tpu.models import adaattn, vgg
+
+        vp = vgg.init_vgg19_adaattn(0)
+        ap = adaattn.init_stylizing_network(1)
+        c = jnp.asarray((rng.random((1, 64, 64, 3)) * 255).astype(np.float32))
+        s = jnp.asarray((rng.random((1, 64, 64, 3)) * 255).astype(np.float32))
+        fc = vgg.vgg19_adaattn_features(vp, c)
+        fs = vgg.vgg19_adaattn_features(vp, s)
+        ref = np.asarray(adaattn.stylizing_network(ap, fc, fs, "cosine"))
+        mesh = make_mesh(8, ("data",))
+        out = np.asarray(adaattn.stylizing_network(ap, fc, fs, "cosine",
+                                                   mesh=mesh))
+        np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)

@@ -138,10 +138,21 @@ def _attention_moments_cosine_exact(q, k, v, prec):
 
 
 def attention_moments(q, k, v, activation: str, mode: str = "auto",
-                      chunk: int = 1024):
-    """Dispatch on activation/mode.  Shapes: q (b,n,d), k (b,m,d), v (b,m,c)."""
+                      chunk: int = 1024, mesh=None, mesh_axis: str = "data"):
+    """Dispatch on activation/mode.  Shapes: q (b,n,d), k (b,m,d), v (b,m,c).
+
+    ``mesh``: optional jax.sharding.Mesh — cosine attention then runs
+    sequence-parallel with the token axis sharded over ``mesh_axis``
+    (vst_tpu.parallel.attention; one psum of the key moments over ICI).
+    """
     prec = matmul_precision(q.dtype)
     if activation == "cosine":
+        if mesh is not None:
+            from vst_tpu.parallel.attention import (
+                sharded_cosine_attention_moments,
+            )
+
+            return sharded_cosine_attention_moments(mesh, q, k, v, mesh_axis)
         if mode == "exact":
             return _attention_moments_cosine_exact(q, k, v, prec)
         return _attention_moments_cosine_linear(q, k, v, prec)
@@ -172,7 +183,7 @@ def _flatten_hw(x):
 
 
 def adaattn_module(params, name, c_x, s_x, c_1x, s_1x, activation,
-                   mode="auto"):
+                   mode="auto", mesh=None):
     """One AdaAttN attention module (AdaAttN/network.py:174-220), NHWC.
 
     ``name`` e.g. "adaattn.0"; pass ``name=None`` for the conv-free variant
@@ -188,7 +199,8 @@ def adaattn_module(params, name, c_x, s_x, c_1x, s_1x, activation,
         q, k, v = qn, kn, s_x
     b, h, w, _ = c_x.shape
     m1, m2 = attention_moments(
-        _flatten_hw(q), _flatten_hw(k), _flatten_hw(v), activation, mode)
+        _flatten_hw(q), _flatten_hw(k), _flatten_hw(v), activation, mode,
+        mesh=mesh)
     var = m2 - m1 * m1
     s = jnp.sqrt(jnp.clip(var, min=1e-6))
     mmap = m1.reshape(b, h, w, -1)
@@ -227,11 +239,13 @@ def decoder(params, x5, x4, x3):
 # ------------------------------------------------------------- full model
 
 def stylizing_network(params, fc: dict, fs: dict, activation="softmax",
-                      mode="auto"):
+                      mode="auto", mesh=None):
     """Full AdaAttN stylizer (network.py:223-251).
 
     fc/fs: ordered VGG19 tap dicts from
     ``vst_tpu.models.vgg.vgg19_adaattn_features``.
+    ``mesh``: optional Mesh for sequence-parallel cosine attention across
+    chips (see attention_moments).
     """
     fcl = list(fc.values())
     fsl = list(fs.values())
@@ -242,7 +256,7 @@ def stylizing_network(params, fc: dict, fs: dict, activation="softmax",
         s_1x = feature_down_sample(fsl, idx)
         outs.append(
             adaattn_module(params, f"adaattn.{i}", fcl[idx], fsl[idx],
-                           c_1x, s_1x, activation, mode))
+                           c_1x, s_1x, activation, mode, mesh=mesh))
     return decoder(params, outs[2], outs[1], outs[0])
 
 
