@@ -51,6 +51,11 @@ def main(argv=None):
             params = load_weights(args.vgg16_weights)
             params.update(load_linear_heads(args.lpips_weights))
         else:
+            import sys
+
+            print("warning: no --vgg16-weights/--lpips-weights given; "
+                  "using RANDOM weights (distance is meaningless)",
+                  file=sys.stderr)
             params = random_lpips_params()
         val = float(lpips_vgg(params,
                               image_to_lpips_input(img0),
@@ -75,6 +80,11 @@ def main(argv=None):
         from vst_tpu.cli.common import load_vgg_weights
         from vst_tpu.eval import gram_loss_5tap
 
+        if not args.vgg19_weights:
+            import sys
+
+            print("warning: no --vgg19-weights; Gram distance uses RANDOM "
+                  "VGG features", file=sys.stderr)
         vgg_params = load_vgg_weights(args.vgg19_weights, "vgg19_adaattn")
         val = float(gram_loss_5tap(vgg_params,
                                    jnp.asarray(img0, jnp.float32)[None],
@@ -97,6 +107,11 @@ def main(argv=None):
         from vst_tpu.eval.inception import init_inception
         from vst_tpu.eval.sifid import sifid
 
+        if not args.inception_weights:
+            import sys
+
+            print("warning: no --inception-weights; SIFID uses RANDOM "
+                  "Inception features", file=sys.stderr)
         params = (load_weights(args.inception_weights)
                   if args.inception_weights else init_inception())
         print("SIFID: %f" % sifid(params, img0.astype(np.float32),
