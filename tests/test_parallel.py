@@ -127,3 +127,16 @@ class TestMeshStylizer:
         out = np.asarray(adaattn.stylizing_network(ap, fc, fs, "cosine",
                                                    mesh=mesh))
         np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+class TestSpatialInferHelper:
+    def test_matches_single_device(self, rng):
+        from vst_tpu.infer.image import stylize_reconet, stylize_spatial_sharded
+        from vst_tpu.models import reconet
+
+        params = reconet.init_reconet(0)
+        x = jnp.asarray((rng.random((1, 64, 32, 3)) * 255).astype(np.float32))
+        ref = np.asarray(stylize_reconet(params, x))
+        mesh = make_mesh(8, ("space",))
+        out = np.asarray(stylize_spatial_sharded(params, x, mesh))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-3)

@@ -38,3 +38,21 @@ def stylize_adaattn(vgg_params, params, content, style,
     fs = vgg_m.vgg19_adaattn_features(vgg_params, style)
     cs = adaattn_m.stylizing_network(params, fc, fs, activation)
     return jnp.clip(cs, 0, 255)
+
+
+def stylize_spatial_sharded(params, x, mesh, family: str = "reconet",
+                            axis: str = "space"):
+    """High-resolution stylization with the image H axis sharded across a
+    mesh (XLA inserts conv halo exchanges over ICI) — the serving path for
+    frames that exceed one chip's comfortable working set (e.g. 4K).
+
+    x: (N, H, W, 3) with H divisible by the mesh axis size.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    params_r = jax.device_put(params, NamedSharding(mesh, P()))
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))
+    if family == "rtnstv":
+        return stylize_rtnstv(params_r, xs)
+    return stylize_reconet(params_r, xs, family)
