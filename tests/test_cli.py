@@ -207,3 +207,25 @@ class TestInferVideoCLI:
                      "--size", "64", "64", "--frames-dir", frames_dir,
                      "--batch-size", "2"])
         assert len(os.listdir(frames_dir)) == 4
+
+
+class TestInferImageSampling:
+    def test_adaattn_sample_from(self, tmp_path, rng):
+        from vst_tpu.cli import infer_image as cli_ii
+        from vst_tpu.models import adaattn
+        from vst_tpu.train.checkpoint import save_params
+
+        for d in ("coco", "wiki"):
+            os.makedirs(str(tmp_path / d / "cls"), exist_ok=True)
+            for i in range(2):
+                _write_img(str(tmp_path / d / "cls" / f"{i}.jpg"), rng,
+                           (64, 64))
+        weights = str(tmp_path / "ada.npz")
+        save_params(adaattn.init_stylizing_network(0), weights)
+        out_dir = str(tmp_path / "out")
+        cli_ii.main(["--model", "adaattn", "--weights", weights,
+                     "--sample-from",
+                     f"{tmp_path / 'coco'},{tmp_path / 'wiki'}",
+                     "--out", out_dir])
+        for name in ("content", "style", "stylized"):
+            assert os.path.exists(os.path.join(out_dir, f"{name}.png"))

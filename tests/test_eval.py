@@ -220,3 +220,19 @@ class TestFlowViz:
         right[0, 0] = 0  # one zero pixel so min-max normalization spreads
         rgb = visualize_flow(right)
         assert rgb[2, 2, 0] > rgb[2, 2, 1] and rgb[2, 2, 0] > rgb[2, 2, 2]
+
+
+class TestProfilingUtils:
+    def test_step_timer(self):
+        import time
+
+        from vst_tpu.utils import StepTimer
+
+        timer = StepTimer(warmup=1)
+        for _ in range(4):
+            with timer:
+                time.sleep(0.01)
+        s = timer.summary()
+        assert s["steps"] == 3
+        assert s["mean_s"] >= 0.01
+        assert s["steps_per_sec"] > 0

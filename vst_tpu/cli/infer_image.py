@@ -19,9 +19,14 @@ def build_parser():
     p.add_argument("--model", required=True,
                    choices=["reconet", "sd1", "sd2", "rtnstv", "adaattn"])
     p.add_argument("--weights", required=True)
-    p.add_argument("--content", required=True,
+    p.add_argument("--content",
                    help="image path, or directory with --all-pairs")
     p.add_argument("--style", help="style image (adaattn) or directory")
+    p.add_argument("--sample-from", metavar="COCO_DIR,WIKIART_DIR",
+                   help="adaattn only: sample content/style from a "
+                        "CocoWikiArt pairing instead of explicit paths "
+                        "(AdaAttN/infer_image.py:38-53)")
+    p.add_argument("--sample-idx", type=int, default=0)
     p.add_argument("--vgg-weights")
     p.add_argument("--activation", default="softmax",
                    choices=["softmax", "cosine"])
@@ -46,6 +51,8 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
 
     if args.model in ("reconet", "sd1", "sd2", "rtnstv"):
+        if not args.content:
+            raise SystemExit("error: --content is required")
         content = _load(args.content, args.size)
         if args.model == "rtnstv":
             out = stylize_rtnstv(params, content)
@@ -57,6 +64,25 @@ def main(argv=None):
         return
 
     vgg_params = load_vgg_weights(args.vgg_weights, "vgg19_adaattn")
+    if args.sample_from:
+        import jax.numpy as jnp
+
+        from vst_tpu.data.datasets import CocoWikiArt
+
+        coco_dir, wikiart_dir = args.sample_from.split(",")
+        sample_c, sample_s = CocoWikiArt(coco_dir, wikiart_dir)[args.sample_idx]
+        c = jnp.asarray(sample_c[None])
+        s = jnp.asarray(sample_s[None])
+        out = stylize_adaattn(vgg_params, params, c, s, args.activation)
+        for name, img in (("content", c[0]), ("style", s[0]),
+                          ("stylized", out[0])):
+            dst = os.path.join(args.out, f"{name}.png")
+            save_image_255(img, dst)
+            print(dst)
+        return
+    if not args.content or not args.style:
+        raise SystemExit("error: --content and --style (or --sample-from) "
+                         "are required for adaattn")
     if args.all_pairs:
         from vst_tpu.data.datasets import list_files
 
