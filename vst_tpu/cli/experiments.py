@@ -43,7 +43,9 @@ def build_parser():
     pv.add_argument("--video", required=True)
     pv.add_argument("--size", type=int, nargs=2, default=[640, 360],
                     metavar=("W", "H"))
-    pv.add_argument("--flow-engine", default="farneback")
+    pv.add_argument("--flow-engine", default="farneback",
+                    choices=["farneback", "raft"])
+    pv.add_argument("--raft-weights")
 
     pe = sub.add_parser("sintel-et", help="RTNSTV Et over Sintel scenes")
     pe.add_argument("--weights", required=True)

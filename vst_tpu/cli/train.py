@@ -48,6 +48,11 @@ def build_parser():
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--loss-plots-dir",
                    help="write per-epoch loss-curve PNGs (RTNSTV/train.py)")
+    p.add_argument("--data-format", default="sceneflow",
+                   choices=["sceneflow", "videvo"],
+                   help="rtnstv: SceneFlow GT flow (active reference path) "
+                        "or Videvo precomputed flow (RTNSTV/train.py:66-72 "
+                        "commented variant)")
     return p
 
 
@@ -132,7 +137,7 @@ def main(argv=None):
         step = steps.make_reconet_coco_step(cfg, vgg_params, grams, opt)
 
     elif t == "rtnstv":
-        from vst_tpu.data.datasets import SceneFlowCombined
+        from vst_tpu.data.datasets import SceneFlowCombined, VidevoFlow
 
         cfg = _override(C.RTNSTVConfig(), args)
         vgg_params = load_vgg_weights(args.vgg_weights, "vgg19_rtnstv",
@@ -140,7 +145,8 @@ def main(argv=None):
         style = _style_tensor(args)
         grams = steps.rtnstv_style_grams(vgg_params, style)
         opt = make_optimizer(cfg.lr)
-        dataset = SceneFlowCombined(args.data, cfg.img_size)
+        dataset = (VidevoFlow(args.data) if args.data_format == "videvo"
+                   else SceneFlowCombined(args.data, cfg.img_size))
         state = create(rtnstv.init_stylizing_network(args.seed), opt)
         step = steps.make_rtnstv_step(cfg, vgg_params, grams, opt)
 
