@@ -229,3 +229,26 @@ class TestInferImageSampling:
                      "--out", out_dir])
         for name in ("content", "style", "stylized"):
             assert os.path.exists(os.path.join(out_dir, f"{name}.png"))
+
+
+class TestRaftFlowEngine:
+    def test_sintel_ada_raft(self, tmp_path, rng):
+        from vst_tpu.cli import experiments as cli_exp
+        from vst_tpu.models import adaattn
+        from vst_tpu.models.raft import init_raft
+        from vst_tpu.train.checkpoint import save_params
+
+        TestExperimentsCLI()._make_sintel(str(tmp_path / "sintel"), rng,
+                                          n=2, hw=(64, 64))
+        weights = str(tmp_path / "ada.npz")
+        save_params(adaattn.init_stylizing_network(0), weights)
+        raft_w = str(tmp_path / "raft.npz")
+        save_params(init_raft(0), raft_w)
+        style = _png(str(tmp_path / "style.png"), rng, (64, 64))
+        out = str(tmp_path / "ada_raft.csv")
+        cli_exp.main(["sintel-ada", "--weights", weights, "--style", style,
+                      "--sintel", str(tmp_path / "sintel"),
+                      "--scenes", "alley_1", "--size", "64", "64",
+                      "--flow-engine", "raft", "--raft-weights", raft_w,
+                      "--out", out])
+        assert os.path.exists(out)

@@ -282,13 +282,13 @@ def run_sintel_ada(args):
             mask = (load_image(occ[idx], (w, h), mode="L")[..., 0] == 0)
             return True, flow01, mask.astype(np.float32)
         if args.flow_engine == "raft":
-            import jax
-
             from vst_tpu.models.raft import raft_flow
 
-            rp = load_weights(args.raft_weights)
-            a = jnp.asarray(frames[idx][None] / 127.5 - 1.0)
-            b = jnp.asarray(frames[idx + 1][None] / 127.5 - 1.0)
+            if not hasattr(flows_and_mask, "raft_params"):
+                flows_and_mask.raft_params = load_weights(args.raft_weights)
+            rp = flows_and_mask.raft_params
+            a = jnp.asarray(frames[idx][None] / 127.5 - 1.0, jnp.float32)
+            b = jnp.asarray(frames[idx + 1][None] / 127.5 - 1.0, jnp.float32)
             f01 = np.asarray(raft_flow(rp, a, b))[0]
             f10 = np.asarray(raft_flow(rp, b, a))[0]
             return False, f10, flow_warp_mask_np(f01, f10)
