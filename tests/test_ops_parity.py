@@ -295,3 +295,17 @@ class TestReflectConv:
         out = conv2d_reflect1_k3s1(x, w, b)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestFusedGridSample:
+    @pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+    def test_matches_differentiable_version(self, rng, padding_mode):
+        from vst_tpu.ops import grid_sample_bilinear, grid_sample_bilinear_fused
+
+        x = jnp.asarray(rand(rng, 2, 16, 20, 3))
+        grid = jnp.asarray((rng.standard_normal((2, 12, 14, 2)) * 1.5)
+                           .astype(np.float32))
+        a = grid_sample_bilinear(x, grid, padding_mode)
+        b = grid_sample_bilinear_fused(x, grid, padding_mode)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)

@@ -22,23 +22,18 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def grid_sample_bilinear(
+def grid_sample_bilinear_fused(
     x: jnp.ndarray, grid: jnp.ndarray, padding_mode: str = "zeros"
 ) -> jnp.ndarray:
-    """Sample NHWC tensor ``x`` at normalized grid positions.
+    """FORWARD-ONLY fast grid sample (use in metrics/eval, not in losses).
 
-    x: (N, H, W, C);  grid: (N, Ho, Wo, 2) with grid[..., 0] = x-coord and
-    grid[..., 1] = y-coord in [-1, 1].  Matches
-    ``torch.nn.functional.grid_sample(mode="bilinear", align_corners=False)``
-    with padding_mode "zeros" or "border".
-
-    TPU note: gather cost on TPU is per-ROW, so instead of four
-    one-pixel gathers this fetches each pixel's full 2×2 bilinear patch
-    (a (2, 2·C) slice of the (H, W·C) view) in ONE gather row — ~4× fewer
-    gather rows (7 → ~2 ms/sample for a 3-channel 360×640 warp on v5e).
-    Out-of-range corners are handled by clamping the patch base into the
-    image and selecting the matching slot (invalid corners carry zero
-    weight in "zeros" mode; "border" mode pre-clamps the coordinates).
+    TPU gather cost is per-ROW, so instead of four one-pixel gathers this
+    fetches each pixel's full 2×2 bilinear patch (a (2, 2·C) slice of the
+    (H, W·C) view) in ONE gather row — ~4× fewer gather rows.  Its autodiff
+    TRANSPOSE however lowers to an overlapping-slice scatter that is
+    catastrophically slow on TPU (measured 20× train-step regression), so
+    the differentiable ``grid_sample_bilinear`` below keeps the per-corner
+    gather formulation.  Numerics identical to the differentiable version.
     """
     n, h, w, c = x.shape
     _, ho, wo, _ = grid.shape
@@ -98,6 +93,55 @@ def grid_sample_bilinear(
     return out.reshape(n, ho, wo, c).astype(x.dtype)
 
 
+def grid_sample_bilinear(
+    x: jnp.ndarray, grid: jnp.ndarray, padding_mode: str = "zeros"
+) -> jnp.ndarray:
+    """Sample NHWC tensor ``x`` at normalized grid positions (differentiable).
+
+    x: (N, H, W, C);  grid: (N, Ho, Wo, 2) with grid[..., 0] = x-coord and
+    grid[..., 1] = y-coord in [-1, 1].  Matches
+    ``torch.nn.functional.grid_sample(mode="bilinear", align_corners=False)``
+    with padding_mode "zeros" or "border".  Four per-corner gathers whose
+    transpose is a well-behaved scatter-add — use this inside losses; the
+    fused variant above is faster forward-only.
+    """
+    n, h, w, c = x.shape
+    _, ho, wo, _ = grid.shape
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
+
+    # align_corners=False unnormalization: src = ((g + 1) * size - 1) / 2
+    fx = ((gx + 1.0) * w - 1.0) / 2.0
+    fy = ((gy + 1.0) * h - 1.0) / 2.0
+
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    xs = x.reshape(n, h * w, c)
+    out = jnp.zeros((n, ho, wo, c), dtype=jnp.float32)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0i + dx
+            yi = y0i + dy
+            wgt = (wx if dx else 1.0 - wx) * (wy if dy else 1.0 - wy)
+            if padding_mode == "zeros":
+                valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+                wgt = jnp.where(valid, wgt, 0.0)
+            xc = jnp.clip(xi, 0, w - 1)
+            yc = jnp.clip(yi, 0, h - 1)
+            idx = (yc * w + xc).reshape(n, ho * wo, 1)
+            vals = jnp.take_along_axis(
+                xs.astype(jnp.float32), idx, axis=1
+            ).reshape(n, ho, wo, c)
+            out = out + vals * wgt[..., None]
+    return out.astype(x.dtype)
+
+
 def _pixel_grid(h: int, w: int) -> jnp.ndarray:
     """(H, W, 2) grid of (x, y) pixel coordinates, float32."""
     xx = jnp.arange(w, dtype=jnp.float32)
@@ -106,18 +150,21 @@ def _pixel_grid(h: int, w: int) -> jnp.ndarray:
     return jnp.stack([gx, gy], axis=-1)
 
 
-def warp(x: jnp.ndarray, flow: jnp.ndarray, padding_mode: str = "zeros") -> jnp.ndarray:
+def warp(x: jnp.ndarray, flow: jnp.ndarray, padding_mode: str = "zeros",
+         fused: bool = False) -> jnp.ndarray:
     """Backward-warp ``x`` by ``flow`` (both NHWC; flow last dim = (fx, fy)).
 
     Reference semantics (ReCoNet/utilities.py:39-57): vgrid = grid + flow,
     normalized with 2·v/(dim-1) - 1, sampled with align_corners=False, zeros
-    padding.
+    padding.  ``fused=True`` selects the faster forward-only gather (for
+    metrics/eval, never inside differentiated losses).
     """
     n, h, w, _ = x.shape
     grid = _pixel_grid(h, w)[None] + flow.astype(jnp.float32)
     gx = 2.0 * grid[..., 0] / max(w - 1, 1) - 1.0
     gy = 2.0 * grid[..., 1] / max(h - 1, 1) - 1.0
-    return grid_sample_bilinear(x, jnp.stack([gx, gy], axis=-1), padding_mode)
+    sampler = grid_sample_bilinear_fused if fused else grid_sample_bilinear
+    return sampler(x, jnp.stack([gx, gy], axis=-1), padding_mode)
 
 
 def flow_warp_mask(
