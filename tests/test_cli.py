@@ -252,3 +252,31 @@ class TestRaftFlowEngine:
                       "--flow-engine", "raft", "--raft-weights", raft_w,
                       "--out", out])
         assert os.path.exists(out)
+
+
+class TestTrainResume:
+    def test_resume_from_state(self, tmp_path, rng):
+        from vst_tpu.cli import train as cli_train2
+
+        root = str(tmp_path / "sceneflow")
+        _make_sceneflow_scene(os.path.join(root, "monkaa"), rng, 5, "monkaa")
+        _make_sceneflow_scene(os.path.join(root, "flyingthings3d"), rng, 5,
+                              "ft3d")
+        style = _png(str(tmp_path / "style.png"), rng)
+        out_dir = str(tmp_path / "models")
+        common = ["--trainer", "rtnstv", "--data", root, "--style", style,
+                  "--out-dir", out_dir, "--batch-size", "2",
+                  "--img-size", "24", "32", "--log-every", "0"]
+        cli_train2.main(common + ["--epochs", "1"])
+        state_path = os.path.join(out_dir, "rtnstv_last_state.pkl")
+        assert os.path.exists(state_path)
+        # resume into epoch 2
+        cli_train2.main(common + ["--epochs", "2", "--epoch-start", "2",
+                                  "--resume", state_path])
+        assert os.path.exists(os.path.join(
+            out_dir, "rtnstv_epoch_2_batchSize_2.npz"))
+
+        from vst_tpu.train.checkpoint import load_state
+
+        final = load_state(state_path)
+        assert int(final.step) == 8  # 2 epochs x 4 batches

@@ -44,6 +44,9 @@ def build_parser():
     p.add_argument("--lr", type=float)
     p.add_argument("--img-size", type=int, nargs=2, metavar=("H", "W"))
     p.add_argument("--epoch-start", type=int, default=1)
+    p.add_argument("--resume", metavar="STATE_PKL",
+                   help="resume from a *_last_state.pkl (params + Adam "
+                        "moments + step); combine with --epoch-start")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--loss-plots-dir",
@@ -177,6 +180,11 @@ def main(argv=None):
 
     else:  # pragma: no cover
         raise ValueError(t)
+
+    if args.resume:
+        from vst_tpu.train.checkpoint import load_state
+
+        state = load_state(args.resume)
 
     run_training(
         step, state, dataset,
