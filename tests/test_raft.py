@@ -1,12 +1,19 @@
-"""RAFT structural/behavioral tests (random weights — pretrained parity is
-future work, see PARITY.md)."""
+"""RAFT tests: component behavior + full-model parity against a functional
+torch re-derivation of torchvision's raft_large (tests/torch_refs.py),
+weights copied through compat.raft_torchvision's key/layout table."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
+import torch
+
+from vst_tpu.compat.raft_torchvision import (
+    convert_raft_state_dict, raft_params_to_torchvision)
 from vst_tpu.models import raft
+
+from tests import torch_refs as tr
 
 
 class TestComponents:
@@ -86,3 +93,41 @@ class TestFullModel:
         grads = jax.grad(loss)(params)
         gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in grads.values())
         assert np.isfinite(gnorm) and gnorm > 0
+
+
+class TestTorchvisionParity:
+    """Pins vst_tpu.models.raft to torchvision's raft_large bit layout:
+    random weights generated with torchvision's exact state_dict keys and
+    shapes, copied through compat.raft_torchvision, final-iteration flow
+    compared against the functional-torch oracle."""
+
+    # min(h, w) >= 128 keeps the coarsest pyramid level >= 2 px: the torch
+    # oracle's normalized grid_sample divides by (w_level - 1), which is
+    # undefined at 1×1 levels (torchvision raft has the same domain limit).
+    @pytest.mark.parametrize("h,w,iters", [(128, 128, 2), (128, 160, 3)])
+    def test_full_model_torch_parity(self, rng, h, w, iters):
+        state = tr.t_raft_random_state(0)
+        params = convert_raft_state_dict(state)
+        a = (rng.random((1, h, w, 3)) * 2 - 1).astype(np.float32)
+        b = (rng.random((1, h, w, 3)) * 2 - 1).astype(np.float32)
+
+        flow_j = np.asarray(raft.raft_flow(
+            params, jnp.asarray(a), jnp.asarray(b), iters=iters))
+
+        with torch.no_grad():
+            flow_t = tr.t_raft_flow(
+                state, torch.from_numpy(a.transpose(0, 3, 1, 2)),
+                torch.from_numpy(b.transpose(0, 3, 1, 2)), iters=iters)
+        flow_t = flow_t.numpy().transpose(0, 2, 3, 1)
+
+        np.testing.assert_allclose(flow_j, flow_t, rtol=1e-3, atol=2e-4)
+
+    def test_key_table_roundtrip(self):
+        state = tr.t_raft_random_state(1)
+        params = convert_raft_state_dict(state)
+        # converter output must exactly cover init_raft's layout
+        assert set(params) == set(raft.init_raft(0))
+        back = raft_params_to_torchvision(params)
+        assert set(back) == {k for k in state}
+        for k in back:
+            np.testing.assert_array_equal(back[k], state[k].numpy())

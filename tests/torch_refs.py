@@ -252,3 +252,214 @@ def t_adaattn_stylizer(state, fc: dict, fs: dict, activation):
         outs.append(t_adaattn_module(state, f"adaattn.{i}", fcl[idx],
                                      fsl[idx], c_1x, s_1x, activation))
     return t_decoder(state, outs[2], outs[1], outs[0])
+
+
+# ------------------------------------------------------------------ RAFT
+# Functional re-derivation of torchvision's raft_large (models/optical_flow/
+# raft.py) over a flat state_dict with torchvision's key names — the parity
+# oracle for vst_tpu.models.raft + compat.raft_torchvision.  The reference
+# consumes this model pretrained (AdaAttN/datasets.py:73-96, exps_video.py:42).
+
+def _t_raft_convnorm(state, pre, x, stride, padding, norm, relu=True):
+    x = F.conv2d(x, t(state, pre + ".0.weight"), stride=stride,
+                 padding=padding)
+    if norm == "instance":
+        x = F.instance_norm(x)
+    else:
+        x = F.batch_norm(x, t(state, pre + ".1.running_mean"),
+                         t(state, pre + ".1.running_var"),
+                         t(state, pre + ".1.weight"),
+                         t(state, pre + ".1.bias"), training=False)
+    return F.relu(x) if relu else x
+
+
+def _t_raft_res(state, pre, x, stride, norm):
+    y = _t_raft_convnorm(state, pre + ".convnormrelu1", x, stride, 1, norm)
+    y = _t_raft_convnorm(state, pre + ".convnormrelu2", y, 1, 1, norm)
+    if f"{pre}.downsample.0.weight" in state:
+        x = _t_raft_convnorm(state, pre + ".downsample", x, stride, 0, norm,
+                             relu=False)
+    return F.relu(x + y)
+
+
+def _t_raft_encoder(state, pre, x, norm):
+    x = _t_raft_convnorm(state, pre + ".convnormrelu", x, 2, 3, norm)
+    for layer, strides in ((1, (1, 1)), (2, (2, 1)), (3, (2, 1))):
+        for b, s in enumerate(strides):
+            x = _t_raft_res(state, f"{pre}.layer{layer}.{b}", x, s, norm)
+    return F.conv2d(x, t(state, pre + ".conv.weight"),
+                    t(state, pre + ".conv.bias"))
+
+
+def _t_corr_pyramid(f1, f2, num_levels=4):
+    b, c, h, w = f1.shape
+    corr = torch.matmul(f1.view(b, c, h * w).transpose(1, 2),
+                        f2.view(b, c, h * w)) / (c ** 0.5)
+    pyr = [corr.view(b * h * w, 1, h, w)]
+    for _ in range(num_levels - 1):
+        pyr.append(F.avg_pool2d(pyr[-1], 2, stride=2))
+    return pyr
+
+
+def _t_grid_sample_abs(img, grid):
+    h, w = img.shape[-2:]
+    xg = 2 * grid[..., 0] / (w - 1) - 1
+    yg = 2 * grid[..., 1] / (h - 1) - 1
+    return F.grid_sample(img, torch.stack([xg, yg], -1), mode="bilinear",
+                         align_corners=True)
+
+
+def _t_raft_lookup(pyr, coords, radius=4):
+    b, _, h, w = coords.shape
+    side = 2 * radius + 1
+    di = torch.linspace(-radius, radius, side)
+    dj = torch.linspace(-radius, radius, side)
+    delta = torch.stack(torch.meshgrid(di, dj, indexing="ij"),
+                        dim=-1).view(1, side, side, 2)
+    centroids = coords.permute(0, 2, 3, 1).reshape(b * h * w, 1, 1, 2)
+    out = []
+    for vol in pyr:
+        out.append(_t_grid_sample_abs(vol, centroids + delta)
+                   .view(b, h, w, -1))
+        centroids = centroids / 2
+    return torch.cat(out, dim=-1).permute(0, 3, 1, 2)
+
+
+def _t_raft_motion(state, flow, corr):
+    pre = "update_block.motion_encoder"
+    c = F.relu(F.conv2d(corr, t(state, pre + ".convcorr1.0.weight"),
+                        t(state, pre + ".convcorr1.0.bias")))
+    c = F.relu(F.conv2d(c, t(state, pre + ".convcorr2.0.weight"),
+                        t(state, pre + ".convcorr2.0.bias"), padding=1))
+    f = F.relu(F.conv2d(flow, t(state, pre + ".convflow1.0.weight"),
+                        t(state, pre + ".convflow1.0.bias"), padding=3))
+    f = F.relu(F.conv2d(f, t(state, pre + ".convflow2.0.weight"),
+                        t(state, pre + ".convflow2.0.bias"), padding=1))
+    cf = F.relu(F.conv2d(torch.cat([c, f], 1),
+                         t(state, pre + ".conv.0.weight"),
+                         t(state, pre + ".conv.0.bias"), padding=1))
+    return torch.cat([cf, flow], dim=1)
+
+
+def _t_convgru(state, pre, h, x, padding):
+    hx = torch.cat([h, x], 1)
+    z = torch.sigmoid(F.conv2d(hx, t(state, pre + ".convz.weight"),
+                               t(state, pre + ".convz.bias"),
+                               padding=padding))
+    r = torch.sigmoid(F.conv2d(hx, t(state, pre + ".convr.weight"),
+                               t(state, pre + ".convr.bias"),
+                               padding=padding))
+    q = torch.tanh(F.conv2d(torch.cat([r * h, x], 1),
+                            t(state, pre + ".convq.weight"),
+                            t(state, pre + ".convq.bias"), padding=padding))
+    return (1 - z) * h + z * q
+
+
+def _t_upsample_flow(flow, mask, factor=8):
+    b, _, h, w = flow.shape
+    mask = mask.view(b, 1, 9, factor, factor, h, w)
+    mask = torch.softmax(mask, dim=2)
+    uf = F.unfold(factor * flow, kernel_size=3, padding=1)
+    uf = uf.view(b, 2, 9, 1, 1, h, w)
+    uf = torch.sum(mask * uf, dim=2)
+    return uf.permute(0, 1, 4, 2, 5, 3).reshape(b, 2, factor * h, factor * w)
+
+
+def t_raft_flow(state, img1, img2, iters=12):
+    """Final upsampled flow, NCHW inputs in [-1, 1]."""
+    f1 = _t_raft_encoder(state, "feature_encoder", img1, "instance")
+    f2 = _t_raft_encoder(state, "feature_encoder", img2, "instance")
+    pyr = _t_corr_pyramid(f1, f2)
+
+    ctx = _t_raft_encoder(state, "context_encoder", img1, "batch")
+    hidden = torch.tanh(ctx[:, :128])
+    context = F.relu(ctx[:, 128:])
+
+    b, _, h8, w8 = f1.shape
+    ys, xs = torch.meshgrid(torch.arange(h8, dtype=torch.float32),
+                            torch.arange(w8, dtype=torch.float32),
+                            indexing="ij")
+    coords0 = torch.stack([xs, ys], 0)[None].repeat(b, 1, 1, 1)
+    coords1 = coords0.clone()
+    rb = "update_block.recurrent_block"
+    for _ in range(iters):
+        corr = _t_raft_lookup(pyr, coords1)
+        flow = coords1 - coords0
+        motion = _t_raft_motion(state, flow, corr)
+        x = torch.cat([context, motion], 1)
+        hidden = _t_convgru(state, rb + ".convgru1", hidden, x, (0, 2))
+        hidden = _t_convgru(state, rb + ".convgru2", hidden, x, (2, 0))
+        y = F.relu(F.conv2d(hidden,
+                            t(state, "update_block.flow_head.conv1.weight"),
+                            t(state, "update_block.flow_head.conv1.bias"),
+                            padding=1))
+        delta = F.conv2d(y, t(state, "update_block.flow_head.conv2.weight"),
+                         t(state, "update_block.flow_head.conv2.bias"),
+                         padding=1)
+        coords1 = coords1 + delta
+    y = F.relu(F.conv2d(hidden, t(state, "mask_predictor.convrelu.0.weight"),
+                        t(state, "mask_predictor.convrelu.0.bias"),
+                        padding=1))
+    mask = 0.25 * F.conv2d(y, t(state, "mask_predictor.conv.weight"),
+                           t(state, "mask_predictor.conv.bias"))
+    return _t_upsample_flow(coords1 - coords0, mask)
+
+
+def t_raft_random_state(seed=0):
+    """Random raft_large state_dict with torchvision's exact keys/shapes."""
+    g = torch.Generator().manual_seed(seed)
+    state = {}
+
+    def conv(name, co, ci, kh, kw, bias):
+        # fan-in scaling keeps activations O(1) through the deep conv
+        # chains (the BN encoder has no per-layer renormalization of
+        # magnitude), so parity isn't swamped by fp noise at huge values
+        scale = 0.5 / (ci * kh * kw) ** 0.5
+        state[f"{name}.weight"] = torch.randn((co, ci, kh, kw),
+                                              generator=g) * scale
+        if bias:
+            state[f"{name}.bias"] = torch.randn(co, generator=g) * 0.1
+
+    def norm(name, ch):
+        state[f"{name}.weight"] = 1 + 0.1 * torch.randn(ch, generator=g)
+        state[f"{name}.bias"] = 0.1 * torch.randn(ch, generator=g)
+        state[f"{name}.running_mean"] = 0.1 * torch.randn(ch, generator=g)
+        state[f"{name}.running_var"] = (1 + 0.1 * torch.randn(
+            ch, generator=g)).abs()
+
+    for pre, bn in (("feature_encoder", False), ("context_encoder", True)):
+        conv(f"{pre}.convnormrelu.0", 64, 3, 7, 7, False)
+        if bn:
+            norm(f"{pre}.convnormrelu.1", 64)
+        chans = {1: (64, 64), 2: (64, 96), 3: (96, 128)}
+        for layer, (ci, co) in chans.items():
+            for b in range(2):
+                base = f"{pre}.layer{layer}.{b}"
+                cin = ci if b == 0 else co
+                conv(f"{base}.convnormrelu1.0", co, cin, 3, 3, False)
+                conv(f"{base}.convnormrelu2.0", co, co, 3, 3, False)
+                if bn:
+                    norm(f"{base}.convnormrelu1.1", co)
+                    norm(f"{base}.convnormrelu2.1", co)
+                if layer > 1 and b == 0:
+                    conv(f"{base}.downsample.0", co, ci, 1, 1, False)
+                    if bn:
+                        norm(f"{base}.downsample.1", co)
+        conv(f"{pre}.conv", 256, 128, 1, 1, True)
+
+    me = "update_block.motion_encoder"
+    conv(f"{me}.convcorr1.0", 256, 324, 1, 1, True)
+    conv(f"{me}.convcorr2.0", 192, 256, 3, 3, True)
+    conv(f"{me}.convflow1.0", 128, 2, 7, 7, True)
+    conv(f"{me}.convflow2.0", 64, 128, 3, 3, True)
+    conv(f"{me}.conv.0", 126, 256, 3, 3, True)
+    for gate in "zrq":
+        conv(f"update_block.recurrent_block.convgru1.conv{gate}",
+             128, 384, 1, 5, True)
+        conv(f"update_block.recurrent_block.convgru2.conv{gate}",
+             128, 384, 5, 1, True)
+    conv("update_block.flow_head.conv1", 256, 128, 3, 3, True)
+    conv("update_block.flow_head.conv2", 2, 256, 3, 3, True)
+    conv("mask_predictor.convrelu.0", 256, 128, 3, 3, True)
+    conv("mask_predictor.conv", 576, 256, 1, 1, True)
+    return state

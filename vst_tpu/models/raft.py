@@ -16,11 +16,12 @@ Architecture (raft-large configuration):
 - recurrent update: motion encoder → two separable (1×5)/(5×1) ConvGRUs →
   flow head; convex 8× upsampling with a predicted 3×3 combination mask.
 
-NOTE: pretrained torchvision weights are not available in this environment
-(zero egress); ``init_raft`` provides random weights and
-``vst_tpu.compat`` layout rules apply to any externally converted
-checkpoint.  Numerical parity against torchvision's exact implementation is
-future validation work (PARITY.md known gaps).
+Weight interop: the architecture is pinned to torchvision's ``raft_large``
+bit layout — see ``vst_tpu.compat.raft_torchvision`` for the state_dict key
+table and ``tests/test_raft.py::TestTorchvisionParity`` for full-model
+parity against the functional-torch oracle (weights copied both ways).
+Pretrained weights can't be downloaded here (zero egress);
+``compat.raft_torchvision.load_raft_pth`` converts a mounted checkpoint.
 """
 
 import functools
@@ -205,10 +206,15 @@ def lookup_corr(pyramid, coords, radius=CORR_RADIUS):
     """
     n, h, w, _ = coords.shape
     r = radius
+    # Window enumeration matches torchvision CorrBlock.index_pyramid:
+    # meshgrid(di, dj, indexing="ij") with delta[..., 0] paired with x —
+    # flat index i·(2r+1)+j has (dx, dy) = (di[i], dj[j]), x-offset MAJOR.
+    # This ordering is load-bearing for pretrained-weight parity (it fixes
+    # which update.enc.convc1 input channel sees which window offset).
     d = jnp.stack(jnp.meshgrid(
         jnp.arange(-r, r + 1, dtype=jnp.float32),
         jnp.arange(-r, r + 1, dtype=jnp.float32), indexing="ij"),
-        axis=-1).reshape(-1, 2)[:, ::-1]          # (P, 2) as (dx, dy)
+        axis=-1).reshape(-1, 2)                    # (P, 2) as (dx, dy)
     out = []
     for lvl, corr in enumerate(pyramid):
         c = coords.reshape(n * h * w, 1, 2) / (2.0 ** lvl)
@@ -281,16 +287,21 @@ def _upsample_mask(params, h):
 def convex_upsample(flow, mask):
     """8× convex upsampling: softmax-weighted 3×3 neighborhood combination.
 
-    flow: (N, H, W, 2) coarse; mask: (N, H, W, 64·9) → (N, 8H, 8W, 2).
+    flow: (N, H, W, 2) coarse; mask: (N, H, W, 9·64) → (N, 8H, 8W, 2).
+
+    Mask channel layout matches torchvision's ``upsample_flow``
+    (``up_mask.view(b, 1, 9, 8, 8, h, w)``): channel = k·64 + a·8 + b with
+    k the 3×3 neighbor (row-major, F.unfold order), (a, b) the sub-pixel
+    (row, col).  Load-bearing for pretrained update.mask.conv2 weights.
     """
     n, h, w, _ = flow.shape
-    m = mask.reshape(n, h, w, 8, 8, 9)
-    m = jax.nn.softmax(m, axis=-1)
+    m = mask.reshape(n, h, w, 9, 8, 8)
+    m = jax.nn.softmax(m, axis=3)
     fp = jnp.pad(8.0 * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
     patches = jnp.stack(
         [fp[:, dy:dy + h, dx:dx + w] for dy in range(3) for dx in range(3)],
         axis=-2)                                    # (N, H, W, 9, 2)
-    up = jnp.einsum("nhwabk,nhwkc->nhwabc", m, patches)
+    up = jnp.einsum("nhwkab,nhwkc->nhwabc", m, patches)
     up = up.transpose(0, 1, 3, 2, 4, 5).reshape(n, 8 * h, 8 * w, 2)
     return up
 
