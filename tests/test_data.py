@@ -240,6 +240,34 @@ class TestImageDatasets:
         c, s = ds[0]
         assert c.shape == s.shape == (256, 256, 3)
 
+    def test_rng_thread_safety_and_reproducibility(self, tmp_path, rng):
+        """Crop/style randomness must be identical for num_workers 0 vs 4
+        (per-item derived generators, not a shared mutable one) and must
+        vary across epochs via set_epoch."""
+        self._make_folder(str(tmp_path / "coco"), rng, n=4)
+        self._make_folder(str(tmp_path / "wiki"), rng, n=4)
+
+        def run_epochs(num_workers, n_epochs=2):
+            ds = CocoWikiArt(str(tmp_path / "coco"), str(tmp_path / "wiki"),
+                             size_crop=(16, 16), seed=7)
+            # shrink the AdaAttN 512 resize for test speed
+            ds.coco.size_resize = ds.wikiart.size_resize = (64, 64)
+            loader = BatchLoader(ds, batch_size=2, shuffle=True, seed=3,
+                                 num_workers=num_workers)
+            return [[np.stack([c, s]) for c, s in zip(*b)]
+                    for _ in range(n_epochs) for b in loader]
+
+        serial = run_epochs(0)
+        threaded = run_epochs(4)
+        assert len(serial) == len(threaded) == 4
+        for a, b in zip(serial, threaded):
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(x, y)
+        # epochs must differ (different crops / style picks)
+        assert not all(
+            np.array_equal(x, y)
+            for x, y in zip(serial[0], serial[2]))
+
     def test_videvo_wikiart(self, tmp_path, rng):
         fdir = os.path.join(str(tmp_path / "videvo"), "frames", "00000")
         os.makedirs(fdir)

@@ -266,17 +266,26 @@ class ImageFolderCrop:
                     self.paths.append(os.path.join(root, f))
         self.size_resize = size_resize
         self.size_crop = size_crop
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Vary per-item randomness across epochs (called by BatchLoader)."""
+        self._epoch = epoch
 
     def __len__(self):
         return len(self.paths)
 
     def __getitem__(self, idx):
+        # Per-item generator: thread-safe under BatchLoader's worker pool and
+        # reproducible regardless of num_workers (a shared mutable Generator
+        # is neither — numpy Generators are not thread-safe).
+        rng = np.random.default_rng((self.seed, self._epoch, idx))
         rh, rw = self.size_resize
         ch, cw = self.size_crop
         img = load_image(self.paths[idx], (rw, rh))
-        top = int(self.rng.integers(0, rh - ch + 1))
-        left = int(self.rng.integers(0, rw - cw + 1))
+        top = int(rng.integers(0, rh - ch + 1))
+        left = int(rng.integers(0, rw - cw + 1))
         return img[top:top + ch, left:left + cw]
 
 
@@ -288,13 +297,20 @@ class CocoWikiArt:
         self.coco = ImageFolderCrop(coco_path, size_crop=size_crop, seed=seed)
         self.wikiart = ImageFolderCrop(wikiart_path, size_crop=size_crop,
                                        seed=seed + 1)
-        self.rng = np.random.default_rng(seed + 2)
+        self.seed = seed + 2
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+        self.coco.set_epoch(epoch)
+        self.wikiart.set_epoch(epoch)
 
     def __len__(self):
         return len(self.coco)
 
     def __getitem__(self, idx):
-        widx = int(self.rng.integers(0, len(self.wikiart)))
+        rng = np.random.default_rng((self.seed, self._epoch, idx))
+        widx = int(rng.integers(0, len(self.wikiart)))
         return self.coco[idx], self.wikiart[widx]
 
 
@@ -306,13 +322,19 @@ class VidevoWikiArt:
         self.videvo = VidevoFrames(videvo_path)
         self.wikiart = ImageFolderCrop(wikiart_path, size_crop=(256, 512),
                                        seed=seed)
-        self.rng = np.random.default_rng(seed + 1)
+        self.seed = seed + 1
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+        self.wikiart.set_epoch(epoch)
 
     def __len__(self):
         return len(self.videvo)
 
     def __getitem__(self, idx):
-        widx = int(self.rng.integers(0, len(self.wikiart)))
+        rng = np.random.default_rng((self.seed, self._epoch, idx))
+        widx = int(rng.integers(0, len(self.wikiart)))
         img1, img2 = self.videvo[idx]
         return img1, img2, self.wikiart[widx]
 

@@ -28,12 +28,19 @@ class BatchLoader:
         self.rng = np.random.default_rng(seed)
         self.num_workers = num_workers
         self.drop_last = drop_last
+        self._epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):
+        # Datasets with per-item derived RNG (ImageFolderCrop etc.) take the
+        # epoch so crops/style picks vary across epochs yet stay reproducible
+        # and thread-safe for any num_workers.
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
+        self._epoch += 1
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
