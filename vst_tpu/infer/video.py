@@ -108,7 +108,13 @@ class StreamingStylizer:
                     break
                 window.append(frame)
                 batch.append(np.concatenate(list(window), axis=-1))
-            styled = np.asarray(self.model_fn(np.stack(batch)))
+            # Pad the tail batch to batch_size so the jitted model_fn sees ONE
+            # shape for the whole run (a smaller final batch would trigger a
+            # fresh XLA compile — tens of seconds over the TPU tunnel).
+            n_real = len(batch)
+            if n_real < self.batch_size:
+                batch = batch + [batch[-1]] * (self.batch_size - n_real)
+            styled = np.asarray(self.model_fn(np.stack(batch)))[:n_real]
             for out in styled:
                 yield self._convert(out)
             if not done:
@@ -164,7 +170,10 @@ class AdaAttNVideoStylizer:
                 yield from out.astype(np.uint8)
                 batch = []
         if batch:
-            out = np.asarray(self._run(np.stack(batch)))
+            # pad tail to batch_size: keeps one compiled shape per run
+            n_real = len(batch)
+            batch = batch + [batch[-1]] * (self.batch_size - n_real)
+            out = np.asarray(self._run(np.stack(batch)))[:n_real]
             yield from out.astype(np.uint8)
 
 
