@@ -4,6 +4,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
 from PIL import Image
 
 from vst_tpu.cli import evaluate as cli_eval

@@ -13,6 +13,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+
 from vst_tpu.models import adaattn, reconet, rtnstv, vgg
 from vst_tpu.ops import vgg_normalize
 

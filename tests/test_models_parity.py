@@ -9,6 +9,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
 import torch
 
 from vst_tpu.compat import jax_to_torch_arrays

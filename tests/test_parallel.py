@@ -14,8 +14,11 @@ from vst_tpu.train import config as C
 from vst_tpu.train import steps
 from vst_tpu.train.state import create, make_optimizer
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [
+    pytest.mark.slow,  # compile-heavy; excluded from the smoke tier
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 virtual devices"),
+]
 
 
 def _batch(rng, n, h, w):
@@ -140,3 +143,43 @@ class TestSpatialInferHelper:
         mesh = make_mesh(8, ("space",))
         out = np.asarray(stylize_spatial_sharded(params, x, mesh))
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-3)
+
+
+class Test2DMeshComposition:
+    def test_make_mesh_auto_factor(self):
+        mesh = make_mesh(8, ("data", "space"))
+        assert mesh.devices.shape == (4, 2)
+        assert mesh.axis_names == ("data", "space")
+
+    def test_dp_plus_spatial_training_step(self, rng):
+        """2-D composition: batch sharded on "data" WHILE H is sharded on
+        "space" — data-parallel training over frames split across chips.
+        Must match the single-device step (VERDICT r1 item 10)."""
+        from vst_tpu.parallel import shard_batch_spatial
+
+        h, w = 32, 24
+        cfg = dataclasses.replace(C.RECONET_CANDY, img_size=(h, w))
+        vgg_params = vgg.init_vgg16_reconet(0)
+        style = jnp.asarray((rng.random((1, h, w, 3)) * 255).astype(np.float32))
+        grams = steps.reconet_style_grams(vgg_params, style)
+        opt = make_optimizer(cfg.lr)
+        batch = _batch(rng, 4, h, w)
+
+        step_single = steps.make_reconet_flow_step(cfg, vgg_params, grams, opt)
+        s1, m1 = step_single(create(reconet.init_reconet(0), opt), batch)
+
+        mesh = make_mesh(8, ("data", "space"))
+        vgg_r = replicate(mesh, vgg_params)
+        grams_r = replicate(mesh, grams)
+        step_2d = steps.make_reconet_flow_step(cfg, vgg_r, grams_r, opt)
+        state_r = replicate(mesh, create(reconet.init_reconet(0), opt))
+        batch_r = shard_batch_spatial(mesh, batch)
+        assert batch_r[0].sharding.spec == P("data", "space", None, None)
+        s2, m2 = step_2d(state_r, batch_r)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-3)
+        for k in s1.params:
+            np.testing.assert_allclose(
+                np.asarray(s1.params[k]), np.asarray(s2.params[k]),
+                atol=2.1 * cfg.lr, err_msg=k)

@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+
 import torch
 
 from vst_tpu.compat.raft_torchvision import (

@@ -3,6 +3,8 @@
 import dataclasses
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+
 import numpy as np
 import jax
 import jax.numpy as jnp
