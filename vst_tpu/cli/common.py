@@ -1,6 +1,35 @@
-"""Shared CLI helpers: weight loading, image I/O."""
+"""Shared CLI helpers: JAX bootstrap, weight loading, image I/O."""
+
+import os
 
 import numpy as np
+
+
+def setup_jax(platform: str | None = None):
+    """One-time JAX bootstrap for every CLI entry point.
+
+    - Enables the persistent compile cache (/tmp/jax_cache): the axon TPU
+      tunnel's server-side compiles take minutes cold, sub-second warm.
+    - Optionally pins the platform ("cpu"/"tpu").  The axon plugin IGNORES
+      the JAX_PLATFORMS env var, so honour our own VST_PLATFORM env (or the
+      explicit argument) through jax.config, which works when applied
+      before first backend use.
+    """
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("VST_COMPILE_CACHE",
+                                         "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    platform = platform or os.environ.get("VST_PLATFORM")
+    if platform:
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            pass
 
 
 def load_image_255(path, size_wh=None):

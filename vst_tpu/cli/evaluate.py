@@ -1,6 +1,7 @@
 """Metric CLI (mirrors AdaAttN/eval.py:311-339).
 
-Modes: lpips / ssim / kl / gram / moment / uni / entropy / sifid.
+Modes: lpips / ssim / kl / gram / moment / uni / entropy / sifid /
+debug_sifid (per-dims SIFID diagnostic, AdaAttN/eval.py:278-308).
 """
 
 import argparse
@@ -14,7 +15,7 @@ def build_parser():
         usage="evaluate [-h] [-m MODE] [-p0 PATH0] [-p1 PATH1]")
     p.add_argument("-m", "--mode", default="lpips",
                    choices=["lpips", "ssim", "kl", "gram", "moment", "uni",
-                            "entropy", "sifid"])
+                            "entropy", "sifid", "debug_sifid"])
     p.add_argument("-p0", "--path0", default="./results/stylized.png")
     p.add_argument("-p1", "--path1", default="./results/style.png")
     p.add_argument("--vgg19-weights", help="for gram")
@@ -24,6 +25,9 @@ def build_parser():
     p.add_argument("--inception-weights", help="for sifid")
     p.add_argument("--dims", type=int, default=2048,
                    help="sifid feature dims (64/192/768/2048)")
+    p.add_argument("--platform", choices=["cpu", "tpu"],
+                   help="pin the JAX backend (default: auto; also "
+                        "honours VST_PLATFORM)")
     return p
 
 
@@ -35,6 +39,9 @@ def _load_uint8(path):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from vst_tpu.cli.common import setup_jax
+
+    setup_jax(args.platform)
     img0 = _load_uint8(args.path0)
     # single-image modes never touch path1 (matching AdaAttN/eval.py, whose
     # moment/uni/entropy read only path0)
@@ -102,10 +109,11 @@ def main(argv=None):
             print("Uniformity: %f" % uniformity(gray))
         else:
             print("Average Entropy: %f" % average_entropy(gray))
-    elif args.mode == "sifid":
+    elif args.mode in ("sifid", "debug_sifid"):
         from vst_tpu.cli.common import load_weights
         from vst_tpu.eval.inception import init_inception
-        from vst_tpu.eval.sifid import sifid
+        from vst_tpu.eval.sifid import (
+            activation_statistics, frechet_distance, sifid)
 
         if not args.inception_weights:
             import sys
@@ -114,8 +122,23 @@ def main(argv=None):
                   "Inception features", file=sys.stderr)
         params = (load_weights(args.inception_weights)
                   if args.inception_weights else init_inception())
-        print("SIFID: %f" % sifid(params, img0.astype(np.float32),
-                                  img1.astype(np.float32), args.dims))
+        if args.mode == "sifid":
+            print("SIFID: %f" % sifid(params, img0.astype(np.float32),
+                                      img1.astype(np.float32), args.dims))
+        else:
+            # per-dims diagnostic sweep (AdaAttN/eval.py:278-308)
+            print(f"Comparing: {args.path0} vs {args.path1}")
+            a = img0.astype(np.float32)[None] / 255.0
+            b = img1.astype(np.float32)[None] / 255.0
+            for dims in (64, 192, 768, 2048):
+                print(f"\n=== Testing with {dims} dimensions ===")
+                m1, s1 = activation_statistics(params, a, dims)
+                m2, s2 = activation_statistics(params, b, dims)
+                print("Mean difference norm: %.6f" % np.linalg.norm(m1 - m2))
+                print("Covariance trace 1: %.6f" % np.trace(s1))
+                print("Covariance trace 2: %.6f" % np.trace(s2))
+                print("SIFID with %dD: %.6f"
+                      % (dims, frechet_distance(m1, s1, m2, s2)))
 
 
 if __name__ == "__main__":

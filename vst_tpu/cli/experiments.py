@@ -81,6 +81,9 @@ def build_parser():
     pm.add_argument("--weights", required=True)
     pm.add_argument("--video", required=True)
     pm.add_argument("--input-frame-num", type=int, default=1)
+    p.add_argument("--platform", choices=["cpu", "tpu"],
+                   help="pin the JAX backend (default: auto; also "
+                        "honours VST_PLATFORM)")
     return p
 
 
@@ -347,6 +350,9 @@ def run_mse(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from vst_tpu.cli.common import setup_jax
+
+    setup_jax(args.platform)
     {"image": run_image, "video": run_video, "sintel-et": run_sintel_et,
      "sintel-ada": run_sintel_ada, "mse": run_mse}[args.cmd](args)
 

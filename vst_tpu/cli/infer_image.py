@@ -36,6 +36,9 @@ def build_parser():
     p.add_argument("--all-pairs", action="store_true",
                    help="every content × style combination "
                         "(AdaAttN/infer_image_all.py)")
+    p.add_argument("--platform", choices=["cpu", "tpu"],
+                   help="pin the JAX backend (default: auto; also "
+                        "honours VST_PLATFORM)")
     return p
 
 
@@ -46,6 +49,9 @@ def _load(path, size):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from vst_tpu.cli.common import setup_jax
+
+    setup_jax(args.platform)
     params = load_weights(args.weights)
     check_weights_match(params, args.model, args.weights)
     os.makedirs(args.out, exist_ok=True)

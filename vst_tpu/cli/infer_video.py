@@ -45,6 +45,13 @@ def build_parser():
     p.add_argument("--out", help="output video path (.mp4); omit to only "
                                  "report fps")
     p.add_argument("--frames-dir", help="also dump frames here")
+    p.add_argument("--show", action="store_true",
+                   help="live cv2 playback window, 'q' quits "
+                        "(ReCoNet/inference/infer.py:17-19, "
+                        "AdaAttN/infer_video.py:65-77)")
+    p.add_argument("--platform", choices=["cpu", "tpu"],
+                   help="pin the JAX backend (default: auto; also "
+                        "honours VST_PLATFORM)")
     return p
 
 
@@ -52,6 +59,9 @@ def main(argv=None):
     import time
 
     args = build_parser().parse_args(argv)
+    from vst_tpu.cli.common import setup_jax
+
+    setup_jax(args.platform)
     params = load_weights(args.weights)
     check_weights_match(params, args.model, args.weights)
 
@@ -92,6 +102,16 @@ def main(argv=None):
             model_fn, frames, args.input_frame_num, args.batch_size,
             args.first_frame))
 
+    show = args.show
+    if show:
+        try:
+            import cv2
+        except ImportError:
+            import sys
+
+            print("warning: --show needs cv2; disabled", file=sys.stderr)
+            show = False
+
     t0 = time.time()
     outputs = []
     count = 0
@@ -105,6 +125,12 @@ def main(argv=None):
             os.makedirs(args.frames_dir, exist_ok=True)
             save_image_255(frame, os.path.join(args.frames_dir,
                                                f"{count - 1:05d}.jpg"))
+        if show:
+            cv2.imshow("stylized", np.asarray(frame)[..., ::-1])  # RGB→BGR
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                break
+    if show:
+        cv2.destroyAllWindows()
     dt = time.time() - t0
     print(f"{count} frames in {dt:.2f}s → {count / dt:.1f} fps")
     if args.out:

@@ -56,6 +56,9 @@ def build_parser():
                    help="rtnstv: SceneFlow GT flow (active reference path) "
                         "or Videvo precomputed flow (RTNSTV/train.py:66-72 "
                         "commented variant)")
+    p.add_argument("--platform", choices=["cpu", "tpu"],
+                   help="pin the JAX backend (default: auto; also "
+                        "honours VST_PLATFORM)")
     return p
 
 
@@ -84,6 +87,9 @@ PER_STYLE = tuple(t for t in TRAINERS if not t.startswith("adaattn"))
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from vst_tpu.cli.common import setup_jax
+
+    setup_jax(args.platform)
     t = args.trainer
     name = args.name or t
     if t in PER_STYLE and not args.style:
