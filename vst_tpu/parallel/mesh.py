@@ -20,17 +20,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, axis_names=("data",)) -> Mesh:
-    """1-D (default) or N-D mesh over the first n devices."""
+def make_mesh(n_devices: int | None = None, axis_names=("data",),
+              shape=None) -> Mesh:
+    """Mesh over the first n devices.
+
+    1-D by default.  For 2-D composition (e.g. ``("data", "space")`` —
+    batch-parallel training over oversized H-sharded frames) pass an
+    explicit ``shape`` or let it auto-factor n_devices into the most
+    balanced (data-major) divisor pair.  >2 axes require ``shape``.
+    """
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = np.asarray(devices[:n_devices])
-    if len(axis_names) == 1:
-        shape = (n_devices,)
-    else:
-        raise NotImplementedError(
-            "multi-axis meshes are constructed by callers via jax.sharding.Mesh")
+    if shape is None:
+        if len(axis_names) == 1:
+            shape = (n_devices,)
+        elif len(axis_names) == 2:
+            import math
+
+            s = int(math.isqrt(n_devices))
+            while n_devices % s:
+                s -= 1
+            shape = (n_devices // s, s)
+        else:
+            raise ValueError(
+                f"pass shape= for a {len(axis_names)}-axis mesh")
+    if int(np.prod(shape)) != n_devices:
+        raise ValueError(f"shape {shape} != {n_devices} devices")
     return Mesh(devices.reshape(shape), axis_names)
 
 
@@ -46,6 +63,18 @@ def shard_spatial(mesh: Mesh, tree, axis: str = "space"):
     """Place NHWC arrays with the H dimension sharded across ``axis``."""
     def put(x):
         spec = P(None, axis, *([None] * (x.ndim - 2)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, tree)
+
+
+def shard_batch_spatial(mesh: Mesh, tree, batch_axis: str = "data",
+                        space_axis: str = "space"):
+    """2-D placement: dim 0 (batch) on ``batch_axis`` AND dim 1 (H) on
+    ``space_axis`` — data-parallel training on frames too large for one
+    chip's working set.  XLA inserts both the conv halo exchanges (space)
+    and the gradient all-reduce (data)."""
+    def put(x):
+        spec = P(batch_axis, space_axis, *([None] * max(x.ndim - 2, 0)))
         return jax.device_put(x, NamedSharding(mesh, spec))
     return jax.tree.map(put, tree)
 
