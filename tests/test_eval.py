@@ -236,3 +236,215 @@ class TestProfilingUtils:
         assert s["steps"] == 3
         assert s["mean_s"] >= 0.01
         assert s["steps_per_sec"] > 0
+
+
+class TestLPIPSNets:
+    """alex/squeeze trunks + baseline mode vs functional-torch oracles
+    (lpips/pretrained_networks.py slices)."""
+
+    @staticmethod
+    def _torch_alex_feats(p, x):
+        def c(i, x, stride=1, padding=0):
+            return F.relu(F.conv2d(x, p[f"features.{i}.weight"],
+                                   p[f"features.{i}.bias"], stride=stride,
+                                   padding=padding))
+        out = []
+        x = c(0, x, stride=4, padding=2); out.append(x)
+        x = c(3, F.max_pool2d(x, 3, 2), padding=2); out.append(x)
+        x = c(6, F.max_pool2d(x, 3, 2), padding=1); out.append(x)
+        x = c(8, x, padding=1); out.append(x)
+        x = c(10, x, padding=1); out.append(x)
+        return out
+
+    @staticmethod
+    def _torch_squeeze_feats(p, x):
+        def fire(i, x):
+            s = F.relu(F.conv2d(x, p[f"features.{i}.squeeze.weight"],
+                                p[f"features.{i}.squeeze.bias"]))
+            e1 = F.relu(F.conv2d(s, p[f"features.{i}.expand1x1.weight"],
+                                 p[f"features.{i}.expand1x1.bias"]))
+            e3 = F.relu(F.conv2d(s, p[f"features.{i}.expand3x3.weight"],
+                                 p[f"features.{i}.expand3x3.bias"],
+                                 padding=1))
+            return torch.cat([e1, e3], dim=1)
+
+        def pool(x):
+            return F.max_pool2d(x, 3, 2, ceil_mode=True)
+
+        out = []
+        x = F.relu(F.conv2d(x, p["features.0.weight"], p["features.0.bias"],
+                            stride=2)); out.append(x)
+        x = fire(4, fire(3, pool(x))); out.append(x)
+        x = fire(7, fire(6, pool(x))); out.append(x)
+        x = fire(9, pool(x)); out.append(x)
+        x = fire(10, x); out.append(x)
+        x = fire(11, x); out.append(x)
+        x = fire(12, x); out.append(x)
+        return out
+
+    def _torch_lpips(self, params_t, a, b, feats_fn, n_taps, use_lpips=True):
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+        f0 = feats_fn(params_t, (a - shift) / scale)
+        f1 = feats_fn(params_t, (b - shift) / scale)
+        val = 0.0
+        for k, (x, y) in enumerate(zip(f0, f1)):
+            xn = x / (x.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+            yn = y / (y.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+            diff = (xn - yn) ** 2
+            if use_lpips:
+                res = F.conv2d(diff, params_t[f"lin{k}.weight"])
+            else:
+                res = diff.sum(dim=1, keepdim=True)
+            val = val + res.mean(dim=[2, 3], keepdim=True)
+        return val.flatten()
+
+    @pytest.mark.parametrize("net,n_taps", [("alex", 5), ("squeeze", 7)])
+    def test_matches_torch_oracle(self, rng, net, n_taps):
+        from vst_tpu.compat import jax_to_torch_arrays
+        from vst_tpu.eval.lpips import lpips_distance
+
+        params = random_lpips_params(0, net)
+        a = (rng.random((1, 64, 64, 3)) * 2 - 1).astype(np.float32)
+        b = (rng.random((1, 64, 64, 3)) * 2 - 1).astype(np.float32)
+        ours = np.asarray(lpips_distance(params, jnp.asarray(a),
+                                         jnp.asarray(b), net))
+        params_t = {k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in jax_to_torch_arrays(params).items()}
+        feats = (self._torch_alex_feats if net == "alex"
+                 else self._torch_squeeze_feats)
+        ref = self._torch_lpips(params_t, nchw(a), nchw(b), feats,
+                                n_taps).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-5)
+
+    def test_baseline_mode_matches_torch(self, rng):
+        """use_lpips=False = the package's no-head "baseline" network."""
+        from vst_tpu.compat import jax_to_torch_arrays
+        from vst_tpu.eval.lpips import lpips_distance
+
+        params = random_lpips_params(0, "alex")
+        a = (rng.random((1, 64, 64, 3)) * 2 - 1).astype(np.float32)
+        b = (rng.random((1, 64, 64, 3)) * 2 - 1).astype(np.float32)
+        ours = np.asarray(lpips_distance(params, jnp.asarray(a),
+                                         jnp.asarray(b), "alex", False))
+        params_t = {k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in jax_to_torch_arrays(params).items()}
+        ref = self._torch_lpips(params_t, nchw(a), nchw(b),
+                                self._torch_alex_feats, 5,
+                                use_lpips=False).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+class TestFakeNetBaselines:
+    """L2/DSSIM stand-in "networks" (lpips/lpips.py:241-280)."""
+
+    def test_rgb2lab_known_values(self):
+        from vst_tpu.eval.lpips import rgb2lab
+
+        lab = rgb2lab(np.array([[[255, 255, 255]],
+                                [[0, 0, 0]],
+                                [[255, 0, 0]]], np.float64))
+        np.testing.assert_allclose(lab[0, 0], [100, 0, 0], atol=0.01)
+        np.testing.assert_allclose(lab[1, 0], [0, 0, 0], atol=0.01)
+        np.testing.assert_allclose(lab[2, 0], [53.24, 80.09, 67.20],
+                                   atol=0.05)
+
+    def test_l2_rgb(self, rng):
+        from vst_tpu.eval.lpips import l2_baseline
+
+        a = (rng.random((8, 8, 3)) * 255)
+        b = (rng.random((8, 8, 3)) * 255)
+        ref = 0.5 * np.mean((a / 255.0 - b / 255.0) ** 2)
+        np.testing.assert_allclose(l2_baseline(a, b, "RGB"), ref, rtol=1e-12)
+
+    def test_l2_lab_nonnegative_zero_on_equal(self, rng):
+        from vst_tpu.eval.lpips import l2_baseline
+
+        a = (rng.random((8, 8, 3)) * 255)
+        assert l2_baseline(a, a, "Lab") == 0.0
+        assert l2_baseline(a, (rng.random((8, 8, 3)) * 255), "Lab") > 0
+
+    def test_dssim_matches_torch_uniform_ssim(self, rng):
+        """_ssim_uniform vs a torch avg_pool re-derivation of skimage's
+        uniform-window sample-covariance SSIM."""
+        from vst_tpu.eval.lpips import _ssim_uniform, dssim_baseline
+
+        a = (rng.random((16, 16, 3)) * 255).astype(np.float64)
+        b = np.clip(a + rng.standard_normal((16, 16, 3)) * 12, 0, 255)
+
+        def torch_ssim(x, y, data_range, win=7):
+            pad = (win - 1) // 2
+            c1 = (0.01 * data_range) ** 2
+            c2 = (0.03 * data_range) ** 2
+            cov_norm = win * win / (win * win - 1.0)
+            vals = []
+            for ch in range(3):
+                xt = torch.from_numpy(x[..., ch])[None, None]
+                yt = torch.from_numpy(y[..., ch])[None, None]
+                mu = lambda t: F.avg_pool2d(F.pad(t, (pad,) * 4,
+                                                  mode="reflect"), win, 1)
+                # skimage uniform_filter uses reflect; interior crop makes
+                # the boundary handling irrelevant
+                ux, uy = mu(xt), mu(yt)
+                vx = cov_norm * (mu(xt * xt) - ux * ux)
+                vy = cov_norm * (mu(yt * yt) - uy * uy)
+                vxy = cov_norm * (mu(xt * yt) - ux * uy)
+                s = ((2 * ux * uy + c1) * (2 * vxy + c2)
+                     / ((ux * ux + uy * uy + c1) * (vx + vy + c2)))
+                vals.append(s[0, 0, pad:-pad, pad:-pad].mean().item())
+            return float(np.mean(vals))
+
+        ours = _ssim_uniform(a, b, 255.0)
+        ref = torch_ssim(a, b, 255.0)
+        np.testing.assert_allclose(ours, ref, rtol=1e-10)
+        np.testing.assert_allclose(dssim_baseline(a, b, "RGB"),
+                                   (1 - ref) / 2, rtol=1e-10)
+        assert dssim_baseline(a, a, "Lab") == pytest.approx(0.0, abs=1e-12)
+
+
+class TestLPIPSRankingTrainer:
+    """BCE ranking calibration harness (lpips/trainer.py:14-143)."""
+
+    def test_dist2logit_shapes_and_range(self, rng):
+        from vst_tpu.eval.lpips_trainer import dist2logit, init_dist2logit
+
+        p = init_dist2logit(0)
+        d0 = jnp.asarray(rng.random(6).astype(np.float32))
+        d1 = jnp.asarray(rng.random(6).astype(np.float32))
+        out = np.asarray(dist2logit(p, d0, d1))
+        assert out.shape == (6,)
+        assert np.all((out > 0) & (out < 1))
+
+    def test_training_decreases_loss_and_clamps_heads(self, rng):
+        from vst_tpu.eval.lpips_trainer import (
+            init_dist2logit, make_lpips_ranking_step)
+
+        lp = random_lpips_params(0, "alex")
+        init_state, step = make_lpips_ranking_step("alex", lr=1e-3)
+        state = init_state(lp, init_dist2logit(1))
+        ref = jnp.asarray((rng.random((2, 64, 64, 3)) * 2 - 1)
+                          .astype(np.float32))
+        p0 = jnp.asarray((rng.random((2, 64, 64, 3)) * 2 - 1)
+                         .astype(np.float32))
+        p1 = ref + 0.01 * jnp.asarray(
+            rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+        judge = jnp.asarray([1.0, 1.0], jnp.float32)  # p1 is closer
+
+        losses = []
+        for _ in range(5):
+            state, m = step(state, ref, p0, p1, judge)
+            losses.append(float(m["loss_total"]))
+        assert losses[-1] < losses[0]
+        for k, v in state["lpips"].items():
+            if k.startswith("lin"):
+                assert np.all(np.asarray(v) >= 0), k
+
+    def test_accuracy_and_2afc(self):
+        from vst_tpu.eval.lpips_trainer import compute_accuracy, score_2afc
+
+        d0 = np.array([1.0, 0.2, 0.5])
+        d1 = np.array([0.5, 0.8, 0.5])
+        judge = np.array([1.0, 0.0, 1.0])  # human prefers p1, p0, p1
+        # order agrees on first two; tie counts 0.5 in 2afc
+        assert compute_accuracy(d0, d1, judge) == pytest.approx(2 / 3)
+        assert score_2afc(d0, d1, judge) == pytest.approx((1 + 1 + 0.5) / 3)
