@@ -1,20 +1,39 @@
-"""Benchmark: stylized frames/sec/chip at 512p (headline BASELINE.json metric).
+"""Benchmarks: every BENCH.md row, one flag away.
 
-Runs ReCoNet per-frame inference (BASELINE.json config #2: "ReCoNet per-frame
-inference on a short 512p clip, pure conv forward") in bfloat16.
+Default path (what the driver runs): ReCoNet stylized frames/sec/chip at
+512p (BASELINE.json config #2) in bfloat16.
+
+    python bench.py [--path PATH]
+
+Paths:
+  reconet-512            ReCoNet per-frame inference 512², batch 8 (headline)
+  adaattn-video-512x256  AdaAttN cosine video loop (encode+stylize/frame)
+  adaattn-video-512      AdaAttN cosine at 512², batch 2
+  adaattn-image-pallas   AdaAttN softmax (Pallas flash-moments), 512×256
+  adaattn-softmax-512    AdaAttN softmax at 512² (the kernel's real target)
+  reconet-train-f32      full ReCoNet flow-objective train step, 640×360 b4
+  reconet-train-bf16     same, bfloat16 mixed precision
+  pipeline-stream        end-to-end streaming fps: cv2 decode → device →
+                         stylize → host → encode (ReCoNet/utilities.py:179-236
+                         use case)
 
 Measurement notes: the axon TPU tunnel has tens of ms of fixed per-call
-latency and a non-blocking block_until_ready, so each measurement chains N
+latency and a non-blocking block_until_ready, so inference paths chain N
 frames through a lax.scan inside ONE jitted call (with per-step-varying
-inputs so XLA cannot hoist the model out of the loop), reduces to a scalar,
-and fetches it to host.  fps is computed from the DIFFERENCE of two chain
-lengths, cancelling the fixed tunnel/dispatch overhead.
+inputs so XLA cannot hoist the model out of the loop), reduce to a scalar,
+and fetch it to host.  fps is computed from the DIFFERENCE of two chain
+lengths, cancelling the fixed tunnel/dispatch overhead.  Train paths time
+sequential jitted steps (each synced by fetching a scalar metric) and
+subtract nothing — per-step work dominates the tunnel latency.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/30}
-(vs_baseline: target is >30 fps/chip per BASELINE.md.)
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline: inference → fps/30 (BASELINE.md >30 fps/chip target);
+training → samples/s relative to the round-1 recorded value (4.3 f32 /
+9.5 bf16), so >1.0 means faster than round 1.
 """
 
+import argparse
 import functools
 import json
 import time
@@ -31,22 +50,34 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main():
+def _chain_fps(run_frames, batch, short=8, long=40, reps=3):
+    """fps from the difference of two scan chain lengths."""
+    def timed(n_steps):
+        float(run_frames(n_steps))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run_frames(n_steps))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short = timed(short)
+    t_long = timed(long)
+    return (long - short) * batch / max(t_long - t_short, 1e-9)
+
+
+def bench_reconet_512():
     import jax
     import jax.numpy as jnp
-
-    _enable_compile_cache()
 
     from vst_tpu.models import reconet
 
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16),
                           reconet.init_reconet(0))
-
-    batch = 8
-    h = w = 512
+    batch, h, w = 8, 512, 512
 
     @functools.partial(jax.jit, static_argnums=(2,))
-    def run_frames(params, x, n_steps):
+    def run(params, x, n_steps):
         def body(carry, i):
             xi = x + i.astype(jnp.bfloat16)
             out = jnp.clip(reconet.reconet(params, xi)[-1], 0, 255)
@@ -59,28 +90,172 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray((rng.random((batch, h, w, 3)) * 255).astype(np.float32),
                     dtype=jnp.bfloat16)
+    fps = _chain_fps(lambda n: run(params, x, n), batch)
+    return "reconet_512p_stylized_fps_per_chip", fps, "frames/sec", fps / 30.0
 
-    def timed(n_steps):
-        float(run_frames(params, x, n_steps))  # compile + warm
-        reps = 3
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(run_frames(params, x, n_steps))
-            best = min(best, time.perf_counter() - t0)
-        return best
 
-    short, long = 8, 40
-    t_short = timed(short)
-    t_long = timed(long)
-    frames = (long - short) * batch
-    fps = frames / max(t_long - t_short, 1e-9)
+def _bench_adaattn(w, h, batch, activation, metric):
+    """AdaAttN video-loop throughput: per-frame VGG encode of the content +
+    stylize, style features precomputed once (AdaAttN/infer_video.py:40-64)."""
+    import jax
+    import jax.numpy as jnp
 
+    from vst_tpu.models import adaattn, vgg
+
+    dt = jnp.bfloat16
+    vgg_params = jax.tree.map(lambda x: jnp.asarray(x, dt),
+                              vgg.init_vgg19_adaattn(0))
+    params = jax.tree.map(lambda x: jnp.asarray(x, dt),
+                          adaattn.init_stylizing_network(1))
+    rng = np.random.default_rng(0)
+    style = jnp.asarray((rng.random((1, h, w, 3)) * 255).astype(np.float32),
+                        dtype=dt)
+    fs_single = jax.jit(vgg.vgg19_adaattn_features)(vgg_params, style)
+    fs = {k: jnp.broadcast_to(v, (batch,) + v.shape[1:])
+          for k, v in fs_single.items()}
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def run(params, x, fs, n_steps):
+        def body(carry, i):
+            xi = x + i.astype(dt)
+            fc = vgg.vgg19_adaattn_features(vgg_params, xi)
+            out = adaattn.stylizing_network(params, fc, fs, activation)
+            return jnp.mean(jnp.clip(out, 0, 255).astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(n_steps, dtype=jnp.int32))
+        return acc
+
+    x = jnp.asarray((rng.random((batch, h, w, 3)) * 255).astype(np.float32),
+                    dtype=dt)
+    fps = _chain_fps(lambda n: run(params, x, fs, n), batch,
+                     short=4, long=16)
+    return metric, fps, "frames/sec", fps / 30.0
+
+
+def _bench_reconet_train(bf16):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from vst_tpu.models import reconet, vgg
+    from vst_tpu.train import config as C
+    from vst_tpu.train import steps
+    from vst_tpu.train.state import create, make_optimizer
+
+    h, w, batch = 360, 640, 4
+    cfg = dataclasses.replace(C.RECONET_CANDY, img_size=(h, w),
+                              batch_size=batch,
+                              dtype="bfloat16" if bf16 else "float32")
+    rng = np.random.default_rng(0)
+    vgg_params = vgg.init_vgg16_reconet(0)
+    style = jnp.asarray((rng.random((1, h, w, 3)) * 255).astype(np.float32))
+    grams = steps.reconet_style_grams(vgg_params, style)
+    opt = make_optimizer(cfg.lr)
+    state = create(reconet.init_reconet(0), opt)
+    step = steps.make_reconet_flow_step(cfg, vgg_params, grams, opt)
+
+    def batch_of():
+        return (
+            jnp.asarray((rng.random((batch, h, w, 3)) * 255)
+                        .astype(np.float32)),
+            jnp.asarray((rng.random((batch, h, w, 3)) * 255)
+                        .astype(np.float32)),
+            jnp.asarray((rng.standard_normal((batch, h, w, 2)) * 2)
+                        .astype(np.float32)),
+            jnp.asarray((rng.random((batch, h, w)) > 0.2)
+                        .astype(np.float32)),
+        )
+
+    data = batch_of()
+    state, m = step(state, data)  # compile
+    float(m["loss"])
+    n_steps = 8
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = step(state, data)
+        float(m["loss"])
+    dt_s = (time.perf_counter() - t0) / n_steps
+    sps = batch / dt_s
+    name = "bf16" if bf16 else "f32"
+    return (f"reconet_train_{name}_samples_per_sec", sps, "samples/sec",
+            sps / (9.5 if bf16 else 4.3))
+
+
+def bench_pipeline_stream():
+    """End-to-end streaming fps: synthetic 640×360 video decoded by cv2,
+    stylized in batches on device, encoded back — the number the reference's
+    use case actually feels."""
+    import os
+    import tempfile
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from vst_tpu.infer.video import (StreamingStylizer, frames_from_video,
+                                     write_video)
+    from vst_tpu.models import reconet
+
+    w, h, n_frames = 640, 360, 96
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "in.avi")
+    rng = np.random.default_rng(0)
+    vw = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"MJPG"), 30, (w, h))
+    base = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    for i in range(n_frames):
+        vw.write(np.roll(base, i * 3, axis=1))
+    vw.release()
+
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16),
+                          reconet.init_reconet(0))
+
+    @jax.jit
+    def model_fn(x):
+        out = reconet.reconet(params, x.astype(jnp.bfloat16))[-1]
+        return jnp.clip(out, 0, 255).astype(jnp.float32)
+
+    # warm the compile outside the timed region (one-shape-per-run holds)
+    np.asarray(model_fn(jnp.zeros((8, h, w, 3), jnp.float32)))
+
+    t0 = time.perf_counter()
+    frames = list(StreamingStylizer(
+        lambda b: np.asarray(model_fn(b)),
+        frames_from_video(src, (w, h)), 1, 8))
+    write_video(os.path.join(tmp, "out.avi"), frames, 30)
+    dt_s = time.perf_counter() - t0
+    fps = n_frames / dt_s
+    return "stream_e2e_640x360_fps", fps, "frames/sec", fps / 30.0
+
+
+PATHS = {
+    "reconet-512": bench_reconet_512,
+    "adaattn-video-512x256": lambda: _bench_adaattn(
+        512, 256, 4, "cosine", "adaattn_video_512x256_fps_per_chip"),
+    "adaattn-video-512": lambda: _bench_adaattn(
+        512, 512, 2, "cosine", "adaattn_video_512p_fps_per_chip"),
+    "adaattn-image-pallas": lambda: _bench_adaattn(
+        512, 256, 2, "softmax", "adaattn_softmax_512x256_fps_per_chip"),
+    "adaattn-softmax-512": lambda: _bench_adaattn(
+        512, 512, 2, "softmax", "adaattn_softmax_512p_fps_per_chip"),
+    "reconet-train-f32": lambda: _bench_reconet_train(False),
+    "reconet-train-bf16": lambda: _bench_reconet_train(True),
+    "pipeline-stream": bench_pipeline_stream,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--path", default="reconet-512", choices=sorted(PATHS))
+    args = p.parse_args(argv)
+    _enable_compile_cache()
+    metric, value, unit, vs = PATHS[args.path]()
     print(json.dumps({
-        "metric": "reconet_512p_stylized_fps_per_chip",
-        "value": round(fps, 2),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps / 30.0, 2),
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": unit,
+        "vs_baseline": round(vs, 2),
     }))
 
 
