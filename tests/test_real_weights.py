@@ -1,0 +1,214 @@
+"""Guarded real-weight parity harness.
+
+Turns BASELINE.md's "≤1% deviation in Et / LPIPS vs the PyTorch reference"
+targets into checkable assertions the moment real weights exist:
+
+- The reference's COMMITTED SD1/SD2 checkpoints
+  (ReCoNet/models_old/SD{1,2}_epoch_4_batchSize_2.pth) always drive a real-
+  checkpoint Et comparison: the full JAX eval pipeline vs a functional-torch
+  re-derivation of RTNSTV/utilities.py:194-240 on the same weights.
+- Pretrained torchvision trunks (absent in this zero-egress image) activate
+  the LPIPS/Gram/SIFID comparisons when mounted; point the env vars at the
+  downloaded .pth files:
+
+      VST_VGG16_PTH      torchvision vgg16-397923af.pth
+      VST_VGG19_PTH      torchvision vgg19-dcbb9e9d.pth
+      VST_INCEPTION_PTH  torchvision inception_v3_google-*.pth
+
+  (default search: ~/.cache/torch/hub/checkpoints/).  The LPIPS linear
+  heads come from the reference's vendored lpips/weights/v0.1/vgg.pth.
+
+Both sides of every comparison consume the SAME weight files, so the delta
+measures implementation parity — the reference semantics in functional
+torch vs the TPU-native JAX path — with no download needed beyond the
+trunk itself.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from tests import torch_refs
+
+RECONET_REF = ("/root/reference/Real-time-Coherent-Video-Style-Transfer-"
+               "Network-(ReCoNet)")
+SD1_PTH = f"{RECONET_REF}/models_old/SD1_epoch_4_batchSize_2.pth"
+LPIPS_HEADS = ("/root/reference/Revisit-Attention-Mechanism-in-Arbitrary-"
+               "Neural-Style-Transfer-(AdaAttN)/lpips/weights/v0.1/vgg.pth")
+
+
+def _find_weight(env_var, pattern):
+    path = os.environ.get(env_var)
+    if path and os.path.exists(path):
+        return path
+    hits = glob.glob(os.path.expanduser(
+        f"~/.cache/torch/hub/checkpoints/{pattern}"))
+    return hits[0] if hits else None
+
+
+VGG16_PTH = _find_weight("VST_VGG16_PTH", "vgg16-*.pth")
+VGG19_PTH = _find_weight("VST_VGG19_PTH", "vgg19-*.pth")
+INCEPTION_PTH = _find_weight("VST_INCEPTION_PTH", "inception_v3_*.pth")
+
+TOL = 0.01  # the BASELINE.md ≤1% deviation target
+
+
+def _clip(rng, n=4, h=48, w=64):
+    """Synthetic clip: shifted noise frames + consistent flow/masks."""
+    base = (rng.random((h, w + 2 * n, 3)) * 255).astype(np.float32)
+    frames = [base[:, 2 * i:2 * i + w] for i in range(n)]
+    flows = [np.tile(np.asarray([2.0, 0.0], np.float32), (h, w, 1))
+             for _ in range(n - 1)]
+    masks = [np.ones((h, w), np.float32) for _ in range(n - 1)]
+    return frames, flows, masks
+
+
+@pytest.mark.skipif(not os.path.exists(SD1_PTH),
+                    reason="reference SD1 checkpoint not mounted")
+class TestRealCheckpointEt:
+    def test_et_sd1_within_1pct_of_torch_reference(self, rng):
+        """Temporal error Et on the real SD1 checkpoint: JAX pipeline vs
+        functional-torch reference semantics (RTNSTV/utilities.py:194-240)
+        must agree within the 1% BASELINE target (expected ~1e-5)."""
+        from vst_tpu.compat import jax_to_torch_arrays, load_pth
+        from vst_tpu.eval.temporal import temporal_error_sintel
+        from vst_tpu.models.reconet import reconet_sd1
+
+        params = load_pth(SD1_PTH)
+        frames, flows, masks = _clip(rng)
+
+        def model_fn(x):
+            # reference Et uses the RAW model output (no clamp,
+            # RTNSTV/utilities.py:215-217)
+            return reconet_sd1(params, jnp.asarray(x))[-1]
+
+        ours = temporal_error_sintel(model_fn, frames, flows, masks)
+
+        # --- reference side: functional torch on the same weights --------
+        # exact RTNSTV/utilities.py:194-240 semantics: warp styled_{t+1} by
+        # the GT flow, occlusion-masked element MSE .mean(), /n, sqrt
+        state = {k: torch.from_numpy(np.ascontiguousarray(v))
+                 for k, v in jax_to_torch_arrays(params).items()}
+
+        def t_styled(f):
+            x = torch.from_numpy(f.transpose(2, 0, 1))[None]
+            return torch_refs.t_reconet_sd1(state, x)[-1]
+
+        styled = [t_styled(f) for f in frames]
+        err = 0.0
+        for i, (flow, mask) in enumerate(zip(flows, masks)):
+            warped = t_warp(styled[i + 1], torch.from_numpy(
+                flow.transpose(2, 0, 1))[None])
+            m = torch.from_numpy(mask)[None, None].expand(
+                -1, 3, -1, -1)
+            err += float((m * (styled[i] - warped) ** 2).mean())
+        ref = float(np.sqrt(err / len(flows)))
+
+        assert abs(ours - ref) <= TOL * max(abs(ref), 1e-9), (ours, ref)
+
+
+def t_warp(x, flow):
+    """Reference backward warp (ReCoNet/utilities.py:39-57):
+    normalized grid + grid_sample(align_corners=False, zeros)."""
+    import torch.nn.functional as F
+
+    n, c, h, w = x.shape
+    ys, xs = torch.meshgrid(torch.arange(h, dtype=torch.float32),
+                            torch.arange(w, dtype=torch.float32),
+                            indexing="ij")
+    gx = xs[None] + flow[:, 0]
+    gy = ys[None] + flow[:, 1]
+    gx = 2.0 * gx / max(w - 1, 1) - 1.0
+    gy = 2.0 * gy / max(h - 1, 1) - 1.0
+    grid = torch.stack([gx, gy], dim=-1)
+    return F.grid_sample(x, grid, mode="bilinear", padding_mode="zeros",
+                         align_corners=False)
+
+
+@pytest.mark.skipif(VGG16_PTH is None or not os.path.exists(LPIPS_HEADS),
+                    reason="pretrained vgg16 trunk not mounted "
+                           "(set VST_VGG16_PTH)")
+class TestRealLPIPS:
+    def test_lpips_within_1pct(self, rng):
+        """Real-trunk + vendored-head LPIPS: ours vs functional-torch
+        lpips/lpips.py semantics on the same weights."""
+        from vst_tpu.compat import load_pth
+        from vst_tpu.eval.lpips import (LPIPS_VGG16_TAPS,
+                                        image_to_lpips_input,
+                                        load_linear_heads, lpips_vgg)
+        from vst_tpu.models.vgg import VGG16_CFG, _layer_table
+
+        params = {k: v for k, v in load_pth(VGG16_PTH).items()
+                  if k.startswith("features.")}
+        params.update(load_linear_heads(LPIPS_HEADS))
+
+        a255 = (rng.random((32, 32, 3)) * 255).astype(np.float32)
+        b255 = (rng.random((32, 32, 3)) * 255).astype(np.float32)
+        ours = float(lpips_vgg(params,
+                               jnp.asarray(image_to_lpips_input(a255)),
+                               jnp.asarray(image_to_lpips_input(b255)))[0])
+
+        import torch.nn.functional as F
+
+        state = torch.load(VGG16_PTH, map_location="cpu", weights_only=True)
+        heads = torch.load(LPIPS_HEADS, map_location="cpu",
+                           weights_only=True)
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+        def trunk(x):
+            feats = []
+            for idx, kind, _, _ in _layer_table(VGG16_CFG):
+                if idx > 29:
+                    break
+                if kind == "conv":
+                    x = F.conv2d(x, state[f"features.{idx}.weight"],
+                                 state[f"features.{idx}.bias"], padding=1)
+                elif kind == "relu":
+                    x = F.relu(x)
+                else:
+                    x = F.max_pool2d(x, 2, 2)
+                if idx in LPIPS_VGG16_TAPS:
+                    feats.append(x)
+            return feats
+
+        def im2tensor(img):
+            return torch.from_numpy(
+                (img / (255.0 / 2.0) - 1.0).transpose(2, 0, 1))[None]
+
+        f0 = trunk((im2tensor(a255) - shift) / scale)
+        f1 = trunk((im2tensor(b255) - shift) / scale)
+        val = 0.0
+        for k, (x, y) in enumerate(zip(f0, f1)):
+            xn = x / (x.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+            yn = y / (y.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+            res = F.conv2d((xn - yn) ** 2, heads[f"lin{k}.model.1.weight"])
+            val = val + res.mean(dim=[2, 3])
+        ref = float(val.flatten()[0])
+        assert abs(ours - ref) <= TOL * max(abs(ref), 1e-9), (ours, ref)
+
+
+@pytest.mark.skipif(INCEPTION_PTH is None,
+                    reason="pretrained inception_v3 not mounted "
+                           "(set VST_INCEPTION_PTH)")
+class TestRealSIFID:
+    def test_sifid_finite_and_symmetric_zero(self, rng):
+        """Real-Inception SIFID sanity: zero on identical inputs, positive
+        and finite on distinct ones (full-block torch parity is covered by
+        test_sifid.py with weight-copied oracles; this pins the converted
+        real checkpoint end-to-end)."""
+        from vst_tpu.compat.torch_params import convert_inception_state
+        from vst_tpu.eval.sifid import sifid
+
+        params = convert_inception_state(
+            torch.load(INCEPTION_PTH, map_location="cpu", weights_only=True))
+        a = (rng.random((64, 64, 3)) * 255).astype(np.float32)
+        b = (rng.random((64, 64, 3)) * 255).astype(np.float32)
+        assert sifid(params, a, a, 64) == pytest.approx(0.0, abs=1e-4)
+        d = sifid(params, a, b, 64)
+        assert np.isfinite(d) and d > 0
