@@ -282,3 +282,55 @@ class TestTrainResume:
 
         final = load_state(state_path)
         assert int(final.step) == 8  # 2 epochs x 4 batches
+
+
+class TestExperimentsImageCSV:
+    """exps_image.py mirror: CSV schema + average row
+    (AdaAttN/exps_image.py:138-158)."""
+
+    def _run(self, tmp_path, rng, extra=()):
+        from vst_tpu.cli import experiments as cli_exps
+        from vst_tpu.models import adaattn
+        from vst_tpu.train.checkpoint import save_params
+
+        cdir, sdir = str(tmp_path / "contents"), str(tmp_path / "styles")
+        os.makedirs(cdir), os.makedirs(sdir)
+        for i in range(2):
+            _png(os.path.join(cdir, f"c{i}.png"), rng, (64, 64))
+            _png(os.path.join(sdir, f"s{i}.png"), rng, (64, 64))
+        weights = str(tmp_path / "ada.npz")
+        save_params(adaattn.init_stylizing_network(0), weights)
+        out = str(tmp_path / "results.csv")
+        cli_exps.main(["image", "--contents", cdir, "--styles", sdir,
+                       "--weights", weights, "--size", "64", "64",
+                       "--out", out, *extra])
+        import csv as csv_mod
+
+        with open(out) as f:
+            return list(csv_mod.DictReader(f))
+
+    def test_schema_and_average_row(self, tmp_path, rng):
+        rows = self._run(tmp_path, rng)
+        # 2 contents × 2 styles + the average row
+        assert len(rows) == 5
+        assert rows[-1]["content"] == "average"
+        cols = set(rows[0])
+        for prefix in ("style", "content"):
+            for m in ("ssim", "kl", "moment", "uniformity", "entropy"):
+                assert f"{prefix}_{m}" in cols
+        # no random-backbone gram columns without --vgg-weights
+        assert not any(c.endswith("gram") for c in cols)
+        # average row = column means of the data rows (exps_image.py:148-156)
+        for c in cols - {"content", "style"}:
+            vals = [float(r[c]) for r in rows[:-1]]
+            np.testing.assert_allclose(float(rows[-1][c]), np.mean(vals),
+                                       rtol=1e-6, err_msg=c)
+
+    def test_gram_columns_with_vgg_weights(self, tmp_path, rng):
+        from vst_tpu.models import vgg
+        from vst_tpu.train.checkpoint import save_params
+
+        vgg_w = str(tmp_path / "vgg19.npz")
+        save_params(vgg.init_vgg19_adaattn(0), vgg_w)
+        rows = self._run(tmp_path, rng, ("--vgg-weights", vgg_w))
+        assert "style_gram" in rows[0] and "content_gram" in rows[0]

@@ -89,7 +89,11 @@ def build_parser():
 
 def _metric_row(img0, img1, vgg_params):
     """The metric battery used by exps_image.py (sans LPIPS/SIFID which
-    need pretrained weights; included when available via evaluate CLI)."""
+    need pretrained weights; included when available via evaluate CLI).
+
+    ``vgg_params=None`` omits the VGG-dependent gram column entirely —
+    a random-backbone Gram distance is a meaningless number, not a metric.
+    """
     import jax.numpy as jnp
 
     from vst_tpu.eval import (
@@ -105,17 +109,19 @@ def _metric_row(img0, img1, vgg_params):
     b8 = np.clip(img1, 0, 255).astype(np.uint8)
     gray = np.asarray(0.299 * a8[..., 0] + 0.587 * a8[..., 1]
                       + 0.114 * a8[..., 2]).astype(np.uint8)
-    return {
+    row = {
         "ssim": float(ssim(jnp.asarray(img0, jnp.float32)[None],
                            jnp.asarray(img1, jnp.float32)[None])),
         "kl": kl_divergence_rgb(a8, b8),
-        "gram": float(gram_loss_5tap(vgg_params,
-                                     jnp.asarray(img0, jnp.float32)[None],
-                                     jnp.asarray(img1, jnp.float32)[None])),
         "moment": nth_order_moment(gray),
         "uniformity": uniformity(gray),
         "entropy": average_entropy(gray),
     }
+    if vgg_params is not None:
+        row["gram"] = float(gram_loss_5tap(
+            vgg_params, jnp.asarray(img0, jnp.float32)[None],
+            jnp.asarray(img1, jnp.float32)[None]))
+    return row
 
 
 def run_image(args):
@@ -127,6 +133,13 @@ def run_image(args):
 
     params = load_weights(args.weights)
     vgg_params = load_vgg_weights(args.vgg_weights, "vgg19_adaattn")
+    metric_vgg = vgg_params if args.vgg_weights else None
+    if metric_vgg is None:
+        import sys
+
+        print("warning: no --vgg-weights; gram columns omitted from the CSV "
+              "(random-backbone Gram distance is meaningless)",
+              file=sys.stderr)
 
     lpips_fn = sifid_fn = None
     if args.vgg16_weights and args.lpips_weights:
@@ -155,9 +168,9 @@ def run_image(args):
             row = {"content": os.path.basename(cpath),
                    "style": os.path.basename(spath)}
             row.update({f"style_{k}": v for k, v in
-                        _metric_row(cs, np.asarray(s)[0], vgg_params).items()})
+                        _metric_row(cs, np.asarray(s)[0], metric_vgg).items()})
             row.update({f"content_{k}": v for k, v in
-                        _metric_row(cs, np.asarray(c)[0], vgg_params).items()})
+                        _metric_row(cs, np.asarray(c)[0], metric_vgg).items()})
             if lpips_fn:
                 row["lpips_content"] = lpips_fn(cs, np.asarray(c)[0])
                 row["lpips_style"] = lpips_fn(cs, np.asarray(s)[0])
