@@ -283,6 +283,36 @@ class TestTrainResume:
         final = load_state(state_path)
         assert int(final.step) == 8  # 2 epochs x 4 batches
 
+    def test_auto_resume(self, tmp_path, rng, capsys):
+        """--resume auto: idempotent restart-after-crash — fresh start when
+        no state exists, pick up at the derived epoch when it does."""
+        from vst_tpu.cli import train as cli_train2
+
+        root = str(tmp_path / "sceneflow")
+        _make_sceneflow_scene(os.path.join(root, "monkaa"), rng, 5, "monkaa")
+        _make_sceneflow_scene(os.path.join(root, "flyingthings3d"), rng, 5,
+                              "ft3d")
+        style = _png(str(tmp_path / "style.png"), rng)
+        out_dir = str(tmp_path / "models")
+        common = ["--trainer", "rtnstv", "--data", root, "--style", style,
+                  "--out-dir", out_dir, "--batch-size", "2",
+                  "--img-size", "24", "32", "--log-every", "0",
+                  "--resume", "auto"]
+        # no state yet → fresh start
+        cli_train2.main(common + ["--epochs", "1"])
+        assert "starting fresh" in capsys.readouterr().out
+        # state exists → resumes into epoch 2 with no --epoch-start
+        cli_train2.main(common + ["--epochs", "2"])
+        out = capsys.readouterr().out
+        assert "auto-resume: step 4 → epoch 2" in out
+        assert os.path.exists(os.path.join(
+            out_dir, "rtnstv_epoch_2_batchSize_2.npz"))
+
+        from vst_tpu.train.checkpoint import load_state
+
+        final = load_state(os.path.join(out_dir, "rtnstv_last_state.pkl"))
+        assert int(final.step) == 8
+
 
 class TestExperimentsImageCSV:
     """exps_image.py mirror: CSV schema + average row

@@ -46,7 +46,11 @@ def build_parser():
     p.add_argument("--epoch-start", type=int, default=1)
     p.add_argument("--resume", metavar="STATE_PKL",
                    help="resume from a *_last_state.pkl (params + Adam "
-                        "moments + step); combine with --epoch-start")
+                        "moments + step); combine with --epoch-start. "
+                        "'auto' = resume from <out-dir>/<name>_last_state.pkl "
+                        "when it exists (epoch derived from the saved step), "
+                        "start fresh otherwise — an idempotent restart-after-"
+                        "crash entry point")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--loss-plots-dir",
@@ -188,9 +192,23 @@ def main(argv=None):
         raise ValueError(t)
 
     if args.resume:
+        import os
+
         from vst_tpu.train.checkpoint import load_state
 
-        state = load_state(args.resume)
+        path = args.resume
+        if path == "auto":
+            path = os.path.join(args.out_dir, name + "_last_state.pkl")
+            if not os.path.exists(path):
+                print(f"auto-resume: no {path}, starting fresh")
+                path = None
+        if path:
+            state = load_state(path)
+            if args.resume == "auto" and args.epoch_start == 1:
+                n_batches = max(len(dataset) // cfg.batch_size, 1)
+                args.epoch_start = int(state.step) // n_batches + 1
+                print(f"auto-resume: step {int(state.step)} → "
+                      f"epoch {args.epoch_start}")
 
     run_training(
         step, state, dataset,

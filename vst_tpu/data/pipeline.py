@@ -21,14 +21,19 @@ class BatchLoader:
     """Iterate minibatches of stacked numpy arrays over an epoch."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, num_workers: int = 4, drop_last: bool = True):
+                 seed: int = 0, num_workers: int = 4, drop_last: bool = True,
+                 epoch: int = 0):
+        """``epoch`` seeds the dataset's per-item randomness (set_epoch) for
+        the first iteration; callers constructing one loader per epoch (e.g.
+        run_training) pass the epoch number so crops/style picks differ
+        across epochs yet stay reproducible."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.num_workers = num_workers
         self.drop_last = drop_last
-        self._epoch = 0
+        self._epoch = epoch
 
     def __len__(self):
         n = len(self.dataset)

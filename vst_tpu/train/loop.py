@@ -67,7 +67,8 @@ def run_training(
     os.makedirs(out_dir, exist_ok=True)
     for epoch in range(epoch_start, epochs + 1):
         loader = BatchLoader(dataset, batch_size, shuffle=True,
-                             seed=seed + epoch, num_workers=num_workers)
+                             seed=seed + epoch, num_workers=num_workers,
+                             epoch=epoch)
         n_batches = len(loader)
         t0 = time.time()
         history: dict[str, list] = {}
@@ -86,7 +87,7 @@ def run_training(
                 rate = (i + 1) * batch_size / (time.time() - t0)
                 msg = " ".join(f"{k}={v:.4g}" for k, v in vals.items())
                 log_fn(f"epoch {epoch}/{epochs} batch {i + 1}/{n_batches} "
-                       f"({rate:.1f} samples/s) {msg}")
+                       f"({rate:.3g} samples/s) {msg}")
         if loss_plots_dir:
             _save_loss_plot(history, loss_plots_dir, model_name, epoch,
                             batch_size)
