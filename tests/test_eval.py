@@ -448,3 +448,69 @@ class TestLPIPSRankingTrainer:
         # order agrees on first two; tie counts 0.5 in 2afc
         assert compute_accuracy(d0, d1, judge) == pytest.approx(2 / 3)
         assert score_2afc(d0, d1, judge) == pytest.approx((1 + 1 + 0.5) / 3)
+
+
+class TestLPIPSSpatial:
+    def test_spatial_map_matches_torch(self, rng):
+        """spatial=True: per-layer maps upsampled (align_corners=False) to
+        input size and summed (lpips/lpips.py:145-152)."""
+        from vst_tpu.compat import jax_to_torch_arrays
+        from vst_tpu.eval.lpips import lpips_distance
+
+        params = random_lpips_params(0)
+        a = (rng.random((1, 32, 32, 3)) * 2 - 1).astype(np.float32)
+        b = (rng.random((1, 32, 32, 3)) * 2 - 1).astype(np.float32)
+        ours = np.asarray(lpips_distance(params, jnp.asarray(a),
+                                         jnp.asarray(b), "vgg",
+                                         spatial=True))
+        assert ours.shape == (1, 32, 32, 1)
+
+        params_t = {k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in jax_to_torch_arrays(params).items()}
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+        from vst_tpu.models.vgg import VGG16_CFG, _layer_table
+
+        def trunk(x):
+            feats = []
+            for idx, kind, _, _ in _layer_table(VGG16_CFG):
+                if idx > 29:
+                    break
+                if kind == "conv":
+                    x = F.conv2d(x, params_t[f"features.{idx}.weight"],
+                                 params_t[f"features.{idx}.bias"], padding=1)
+                elif kind == "relu":
+                    x = F.relu(x)
+                else:
+                    x = F.max_pool2d(x, 2, 2)
+                if idx in (3, 8, 15, 22, 29):
+                    feats.append(x)
+            return feats
+
+        ta, tb = nchw(a), nchw(b)
+        f0 = trunk((ta - shift) / scale)
+        f1 = trunk((tb - shift) / scale)
+        val = 0.0
+        for k, (x, y) in enumerate(zip(f0, f1)):
+            xn = x / (x.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+            yn = y / (y.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+            res = F.conv2d((xn - yn) ** 2, params_t[f"lin{k}.weight"])
+            val = val + torch.nn.functional.interpolate(
+                res, size=(32, 32), mode="bilinear", align_corners=False)
+        ref = val.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-6)
+
+    def test_ret_per_layer(self, rng):
+        from vst_tpu.eval.lpips import lpips_distance
+
+        params = random_lpips_params(0)
+        a = jnp.asarray((rng.random((1, 32, 32, 3)) * 2 - 1)
+                        .astype(np.float32))
+        b = jnp.asarray((rng.random((1, 32, 32, 3)) * 2 - 1)
+                        .astype(np.float32))
+        val, layers = lpips_distance(params, a, b, "vgg",
+                                     ret_per_layer=True)
+        assert len(layers) == 5
+        np.testing.assert_allclose(np.asarray(val),
+                                   np.sum([np.asarray(l) for l in layers],
+                                          axis=0), rtol=1e-6)

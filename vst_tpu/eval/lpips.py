@@ -143,27 +143,42 @@ def _normalize(feat, eps=1e-10):
     return feat / (norm + eps)
 
 
-@functools.partial(jax.jit, static_argnames=("net", "use_lpips"))
+@functools.partial(jax.jit,
+                   static_argnames=("net", "use_lpips", "spatial",
+                                    "ret_per_layer"))
 def lpips_distance(params, img0, img1, net: str = "vgg",
-                   use_lpips: bool = True):
+                   use_lpips: bool = True, spatial: bool = False,
+                   ret_per_layer: bool = False):
     """LPIPS distance (lpips/lpips.py:129-161).  img0/img1: (N, H, W, 3)
-    RGB in [-1, 1].  ``use_lpips=False`` is the package's "baseline" mode:
-    channel-sum of squared normalized diffs, no learned heads."""
+    RGB in [-1, 1].
+
+    ``use_lpips=False`` is the package's "baseline" mode: channel-sum of
+    squared normalized diffs, no learned heads.  ``spatial=True`` returns a
+    per-pixel distance map (N, H, W, 1) — each layer's map bilinearly
+    upsampled to the input size (lpips/lpips.py:145-152, upsample
+    align_corners=False) — instead of the spatial average.
+    ``ret_per_layer`` additionally returns the per-layer values."""
+    from vst_tpu.ops.resize import resize_bilinear
+
     shift = jnp.asarray(_SHIFT, jnp.float32)
     scale = jnp.asarray(_SCALE, jnp.float32)
     x0 = (img0.astype(jnp.float32) - shift) / scale
     x1 = (img1.astype(jnp.float32) - shift) / scale
     f0 = _TRUNKS[net](params, x0)
     f1 = _TRUNKS[net](params, x1)
-    val = 0.0
+    res_layers = []
     for k, (a, b) in enumerate(zip(f0, f1)):
         diff = jnp.square(_normalize(a) - _normalize(b))
         if use_lpips:
             res = conv2d(diff, params[f"lin{k}.weight"], None)
         else:
             res = jnp.sum(diff, axis=-1, keepdims=True)
-        val = val + jnp.mean(res, axis=(1, 2, 3))
-    return val
+        if spatial:
+            res_layers.append(resize_bilinear(res, img0.shape[1:3]))
+        else:
+            res_layers.append(jnp.mean(res, axis=(1, 2, 3)))
+    val = sum(res_layers)
+    return (val, res_layers) if ret_per_layer else val
 
 
 @jax.jit
