@@ -514,3 +514,33 @@ class TestLPIPSSpatial:
         np.testing.assert_allclose(np.asarray(val),
                                    np.sum([np.asarray(l) for l in layers],
                                           axis=0), rtol=1e-6)
+
+
+class TestJNDScoring:
+    def test_voc_ap_perfect_and_random(self):
+        from vst_tpu.eval.lpips_trainer import score_jnd, voc_ap
+
+        # perfect separation: all "same" pairs have the smallest distances
+        ds = np.array([0.1, 0.2, 0.3, 0.9, 1.0, 1.1])
+        sames = np.array([1, 1, 1, 0, 0, 0], np.float64)
+        assert score_jnd(ds, sames) == pytest.approx(1.0)
+        # inverted separation: the PR envelope bottoms out at the base
+        # rate (precision 3/6 at full recall) → AP 0.5
+        assert score_jnd(ds, 1 - sames) == pytest.approx(0.5)
+        # voc_ap of a flat precision=1 curve is 1
+        assert voc_ap(np.array([0.5, 1.0]), np.array([1.0, 1.0])) \
+            == pytest.approx(1.0)
+
+    def test_jnd_matches_reference_formula(self, rng):
+        """score_jnd vs a literal transcription of trainer.py:243-280."""
+        from vst_tpu.eval.lpips_trainer import score_jnd, voc_ap
+
+        ds = rng.random(50)
+        sames = (rng.random(50) > 0.5).astype(np.float64)
+        order = np.argsort(ds)
+        ss = sames[order]
+        tps = np.cumsum(ss)
+        fps = np.cumsum(1 - ss)
+        fns = np.sum(ss) - tps
+        ref = voc_ap(tps / (tps + fns), tps / (tps + fps))
+        assert score_jnd(ds, sames) == pytest.approx(ref)

@@ -138,3 +138,29 @@ def score_2afc(d0s, d1s, judges):
     scores = (d0s < d1s) * (1.0 - gts) + (d1s < d0s) * gts \
         + (d1s == d0s) * 0.5
     return float(np.mean(scores))
+
+
+def voc_ap(rec, prec):
+    """VOC AP: area under the precision-recall envelope
+    (lpips/__init__.py:96-126, use_07_metric=False branch)."""
+    mrec = np.concatenate(([0.0], rec, [1.0]))
+    mpre = np.concatenate(([0.0], prec, [0.0]))
+    for i in range(mpre.size - 1, 0, -1):
+        mpre[i - 1] = np.maximum(mpre[i - 1], mpre[i])
+    i = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[i + 1] - mrec[i]) * mpre[i + 1]))
+
+
+def score_jnd(ds, sames):
+    """score_jnd_dataset core (trainer.py:243-280): mAP of
+    distance-thresholded same/different classification."""
+    ds = np.asarray(ds, np.float64).reshape(-1)
+    sames = np.asarray(sames, np.float64).reshape(-1)
+    order = np.argsort(ds)
+    sames_sorted = sames[order]
+    tps = np.cumsum(sames_sorted)
+    fps = np.cumsum(1 - sames_sorted)
+    fns = np.sum(sames_sorted) - tps
+    precs = tps / (tps + fps)
+    recs = tps / (tps + fns)
+    return voc_ap(recs, precs)
