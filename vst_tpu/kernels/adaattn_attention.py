@@ -79,7 +79,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o1_ref, o2_ref, lse_ref,
         inv = 1.0 / li_ref[:]
         o1_ref[0] = (a1_ref[:] * inv).astype(o1_ref.dtype)
         o2_ref[0] = (a2_ref[:] * inv).astype(o2_ref.dtype)
-        lse_ref[0] = (mi_ref[:] + jnp.log(li_ref[:]))[:, 0]
+        lse_ref[0] = mi_ref[:] + jnp.log(li_ref[:])
 
 
 def _pad_to(x, axis, mult):
@@ -115,7 +115,11 @@ def _forward(q, k, v, bq, bk, interpret):
         out_specs=[
             pl.BlockSpec((1, bq, c), lambda bi, qi, ki: (bi, qi, 0)),
             pl.BlockSpec((1, bq, c), lambda bi, qi, ki: (bi, qi, 0)),
-            pl.BlockSpec((1, bq), lambda bi, qi, ki: (bi, qi)),
+            # row vectors are (b, n, 1): a (1, bq) block over (b, n) only
+            # lowers on TPU when b == 1 (block dim -2 must be divisible by
+            # 8 or equal the array dim); the trailing singleton makes the
+            # block (1, bq, 1) legal for any batch
+            pl.BlockSpec((1, bq, 1), lambda bi, qi, ki: (bi, qi, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -126,7 +130,7 @@ def _forward(q, k, v, bq, bk, interpret):
         out_shape=[
             jax.ShapeDtypeStruct((b, qp.shape[1], c), q.dtype),
             jax.ShapeDtypeStruct((b, qp.shape[1], c), q.dtype),
-            jax.ShapeDtypeStruct((b, qp.shape[1]), jnp.float32),
+            jax.ShapeDtypeStruct((b, qp.shape[1], 1), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, vp)
@@ -148,8 +152,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, dm1_ref, dm2_ref, lse_ref, dd_ref,
     v = v_ref[0].astype(jnp.float32)
     dm1 = dm1_ref[0].astype(jnp.float32)
     dm2 = dm2_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    dd = dd_ref[0][:, None]
+    lse = lse_ref[0]          # (bq, 1)
+    dd = dd_ref[0]            # (bq, 1)
 
     s = _dot(q, k, precision, trans_b=True)
     key_idx = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -181,8 +185,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, dm1_ref, dm2_ref, lse_ref, dd_ref,
     v = v_ref[0].astype(jnp.float32)
     dm1 = dm1_ref[0].astype(jnp.float32)
     dm2 = dm2_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    dd = dd_ref[0][:, None]
+    lse = lse_ref[0]          # (bq, 1)
+    dd = dd_ref[0]            # (bq, 1)
 
     kj = pl.program_id(1)
     s = _dot(q, k, precision, trans_b=True)              # (bq, bk)
@@ -212,8 +216,10 @@ def _backward(res, grads, bq, bk, interpret):
     prec = matmul_precision(q.dtype)
 
     # softmax row correction D_i = dM1_i·M1_i + dM2_i·M2_i
-    dd = jnp.sum(dm1.astype(jnp.float32) * o1.astype(jnp.float32), axis=-1) \
-        + jnp.sum(dm2.astype(jnp.float32) * o2.astype(jnp.float32), axis=-1)
+    dd = (jnp.sum(dm1.astype(jnp.float32) * o1.astype(jnp.float32),
+                  axis=-1, keepdims=True)
+          + jnp.sum(dm2.astype(jnp.float32) * o2.astype(jnp.float32),
+                    axis=-1, keepdims=True))
 
     qp = _pad_to(q, 1, bq)
     kp = _pad_to(k, 1, bk)
@@ -229,7 +235,7 @@ def _backward(res, grads, bq, bk, interpret):
     k_spec_q = pl.BlockSpec((1, bk, d), lambda bi, qi, ki: (bi, ki, 0))
     v_spec_q = pl.BlockSpec((1, bk, c), lambda bi, qi, ki: (bi, ki, 0))
     dm_spec_q = pl.BlockSpec((1, bq, c), lambda bi, qi, ki: (bi, qi, 0))
-    row_spec_q = pl.BlockSpec((1, bq), lambda bi, qi, ki: (bi, qi))
+    row_spec_q = pl.BlockSpec((1, bq, 1), lambda bi, qi, ki: (bi, qi, 0))
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, nk=nk, m_actual=m, bk=bk,
@@ -248,7 +254,7 @@ def _backward(res, grads, bq, bk, interpret):
     k_spec_k = pl.BlockSpec((1, bk, d), lambda bi, ki, qi: (bi, ki, 0))
     v_spec_k = pl.BlockSpec((1, bk, c), lambda bi, ki, qi: (bi, ki, 0))
     dm_spec_k = pl.BlockSpec((1, bq, c), lambda bi, ki, qi: (bi, qi, 0))
-    row_spec_k = pl.BlockSpec((1, bq), lambda bi, ki, qi: (bi, qi))
+    row_spec_k = pl.BlockSpec((1, bq, 1), lambda bi, ki, qi: (bi, qi, 0))
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, nq=nq, m_actual=m, bk=bk,
