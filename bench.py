@@ -169,14 +169,35 @@ def _bench_reconet_train(bf16):
         )
 
     data = batch_of()
-    state, m = step(state, data)  # compile
-    float(m["loss"])
-    n_steps = 8
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, m = step(state, data)
-        float(m["loss"])
-    dt_s = (time.perf_counter() - t0) / n_steps
+
+    # Chain steps through lax.scan inside one jitted call, like the
+    # inference paths: the axon tunnel's per-call dispatch latency
+    # (~seconds) would otherwise dominate the per-step time.  Perturb the
+    # batch per step so XLA cannot hoist anything.
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_steps(state, data, n_steps):
+        img1, img2, flow, mask = data
+
+        def body(state, i):
+            d = (img1 + i.astype(jnp.float32), img2, flow, mask)
+            state, m = step(state, d)
+            return state, m["loss"]
+
+        state, losses = jax.lax.scan(
+            body, state, jnp.arange(n_steps, dtype=jnp.int32))
+        return jnp.sum(losses)
+
+    def timed(n_steps):
+        float(run_steps(state, data, n_steps))  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(run_steps(state, data, n_steps))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    short, long = 2, 8
+    dt_s = (timed(long) - timed(short)) / (long - short)
     sps = batch / dt_s
     name = "bf16" if bf16 else "f32"
     return (f"reconet_train_{name}_samples_per_sec", sps, "samples/sec",
@@ -220,9 +241,11 @@ def bench_pipeline_stream():
     np.asarray(model_fn(jnp.zeros((8, h, w, 3), jnp.float32)))
 
     t0 = time.perf_counter()
+    # model_fn returns device arrays: StreamingStylizer keeps pipeline_depth
+    # batches in flight, overlapping decode/transfer/compute/fetch and
+    # amortizing the tunnel's fixed per-call dispatch latency.
     frames = list(StreamingStylizer(
-        lambda b: np.asarray(model_fn(b)),
-        frames_from_video(src, (w, h)), 1, 8))
+        model_fn, frames_from_video(src, (w, h)), 1, 8, pipeline_depth=6))
     write_video(os.path.join(tmp, "out.avi"), frames, 30)
     dt_s = time.perf_counter() - t0
     fps = n_frames / dt_s

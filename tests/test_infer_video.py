@@ -88,6 +88,49 @@ class TestStreamingStylizer:
             lambda b: b, iter(frames(3)), 1, 2, output="rgb_uint8"))
         assert out[0].dtype == np.uint8
 
+    def test_pipeline_depth_preserves_order(self):
+        """With pipeline_depth > 1, batches are dispatched ahead of
+        materialization but outputs still come back in frame order — even
+        when depth exceeds the number of batches (drain path)."""
+        src = frames(11)
+        for depth in (1, 2, 3, 100):
+            out = list(StreamingStylizer(
+                lambda b: b[..., -3:], iter(src), 1, 2, output="float",
+                pipeline_depth=depth))
+            assert len(out) == 11, depth
+            for i, o in enumerate(out):
+                np.testing.assert_array_equal(o, src[i])
+
+    def test_pipeline_lazy_results_materialized_in_order(self):
+        """model_fn may return lazy/deferred handles (device arrays over a
+        real tunnel); np.asarray is only called at materialization time."""
+        materialized = []
+        dispatched = []
+        inflight_at_materialize = []
+
+        class Lazy:
+            def __init__(self, arr):
+                self.arr = arr
+
+            def __array__(self, dtype=None, copy=None):
+                inflight_at_materialize.append(len(dispatched))
+                materialized.append(self.arr[0, 0, 0, -3])
+                return self.arr
+
+        def model_fn(batch):
+            dispatched.append(batch[0, 0, 0, -3])
+            return Lazy(batch[..., -3:])
+
+        out = list(StreamingStylizer(
+            model_fn, iter(frames(8)), 1, 2, output="float",
+            pipeline_depth=3))
+        assert len(out) == 8
+        assert len(dispatched) == 4
+        # dispatch ran AHEAD of materialization: when the first batch was
+        # materialized, pipeline_depth batches were already in flight
+        assert inflight_at_materialize[0] == 3
+        assert materialized == sorted(materialized)
+
 
 class TestAdaAttNStreaming:
     @pytest.mark.slow

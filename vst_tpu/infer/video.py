@@ -69,16 +69,25 @@ class StreamingStylizer:
 
     ``first_frame``: skip initial frames so output starts at that index
     (ReCoNet/utilities.py:193-201 semantics).
+
+    ``pipeline_depth``: number of batches kept in flight on the device
+    before the oldest result is materialized to host.  JAX dispatch is
+    async, so when ``model_fn`` returns device arrays (any jitted
+    closure), dispatching batch k+1..k+depth before fetching batch k
+    overlaps host decode, host→device transfer, device compute and
+    device→host fetch — and amortizes fixed per-call dispatch latency
+    (large over a remote-TPU tunnel) across ``depth`` batches.
     """
 
     def __init__(self, model_fn, frames, input_frame_num: int = 1,
                  batch_size: int = 4, first_frame: int | None = None,
-                 output: str = "rgb_uint8"):
+                 output: str = "rgb_uint8", pipeline_depth: int = 3):
         self.model_fn = model_fn
         self.frames = iter(frames)
         self.input_frame_num = input_frame_num
         self.batch_size = batch_size
         self.output = output
+        self.pipeline_depth = max(1, pipeline_depth)
         if first_frame is None or first_frame < input_frame_num:
             first_frame = input_frame_num
         self.skip = first_frame - input_frame_num
@@ -98,6 +107,7 @@ class StreamingStylizer:
                 return
             window.append(frame)
 
+        inflight = collections.deque()  # (device_result, n_real) FIFO
         done = False
         while not done:
             batch = [np.concatenate(list(window), axis=-1)]
@@ -114,15 +124,22 @@ class StreamingStylizer:
             n_real = len(batch)
             if n_real < self.batch_size:
                 batch = batch + [batch[-1]] * (self.batch_size - n_real)
-            styled = np.asarray(self.model_fn(np.stack(batch)))[:n_real]
-            for out in styled:
-                yield self._convert(out)
+            inflight.append((self.model_fn(np.stack(batch)), n_real))
+            while len(inflight) >= self.pipeline_depth:
+                yield from self._materialize(inflight.popleft())
             if not done:
                 frame = queue.get()
                 if frame is None:
                     done = True
                 else:
                     window.append(frame)
+        while inflight:
+            yield from self._materialize(inflight.popleft())
+
+    def _materialize(self, entry):
+        result, n_real = entry
+        for out in np.asarray(result)[:n_real]:
+            yield self._convert(out)
 
     def _convert(self, frame):
         if self.output == "rgb_uint8":
