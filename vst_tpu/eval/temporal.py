@@ -52,7 +52,7 @@ def temporal_mse(model_fn, frames, input_frame_num: int = 1) -> float:
 
 @jax.jit
 def _et_pair(styled0, styled1, flow, mask):
-    warped = warp(styled1, flow, fused=True)
+    warped = warp(styled1, flow)
     cmask = jnp.broadcast_to(mask[..., None], styled0.shape)
     err = cmask * jnp.square(styled0.astype(jnp.float32) -
                              warped.astype(jnp.float32))
@@ -81,7 +81,7 @@ def warping_error_step(cs1, cs2, flow_10, mask):
     cs1/cs2: (1, H, W, 3) styled frames; flow_10: (1, H, W, 2) backward flow;
     mask: (1, H, W).
     """
-    warped = warp(cs1, flow_10, fused=True)
+    warped = warp(cs1, flow_10)
     cmask = jnp.broadcast_to(mask[..., None], cs1.shape)
     n, h, w, c = cs1.shape
     loss = jnp.sum(cmask * jnp.square(cs2.astype(jnp.float32) -
@@ -98,7 +98,7 @@ def sintel_optical_loss_step(cs1_01, cs2_01, flow_10, mask, use_mae=True):
     and finish with sqrt(total)/count (exps_sintel.py:110).
     ``use_mae=False`` selects the commented MSE variant.
     """
-    warped = warp(cs1_01, flow_10, fused=True)
+    warped = warp(cs1_01, flow_10)
     cmask = jnp.broadcast_to(mask[..., None], cs1_01.shape)
     diff = cs2_01.astype(jnp.float32) - warped.astype(jnp.float32)
     err = jnp.abs(diff) if use_mae else jnp.square(diff)

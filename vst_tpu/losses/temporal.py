@@ -49,9 +49,7 @@ def reconet_output_temporal_loss(img1n, img2n, styled1n, styled2n, flow, mask):
     as in the reference, which normalizes before warping.
     """
     warped_style = warp(styled1n, flow)
-    # the input term carries no parameter gradient (pure data), so the
-    # faster forward-only gather is safe here
-    warped_image = warp(img1n, flow, fused=True)
+    warped_image = warp(img1n, flow)
     output_term = styled2n.astype(jnp.float32) - warped_style.astype(jnp.float32)
     input_term = img2n.astype(jnp.float32) - warped_image.astype(jnp.float32)
     luma = rgb_to_luma709(input_term)

@@ -8,8 +8,7 @@ from vst_tpu.ops.pad import reflection_pad2d
 from vst_tpu.ops.conv import conv2d, conv_transpose2d, max_pool2d
 from vst_tpu.ops.norm import instance_norm
 from vst_tpu.ops.resize import resize_bilinear, upsample_nearest
-from vst_tpu.ops.warp import (grid_sample_bilinear,
-    grid_sample_bilinear_fused, warp, flow_warp_mask)
+from vst_tpu.ops.warp import grid_sample_bilinear, warp, flow_warp_mask
 from vst_tpu.ops.image import (
     vgg_normalize,
     gram_matrix,
@@ -27,7 +26,6 @@ __all__ = [
     "resize_bilinear",
     "upsample_nearest",
     "grid_sample_bilinear",
-    "grid_sample_bilinear_fused",
     "warp",
     "flow_warp_mask",
     "vgg_normalize",

@@ -15,25 +15,41 @@ temporal loss and every temporal-consistency metric):
 
 Everything runs in-graph on device; the reference computed masks on CPU
 DataLoader workers.
+
+Performance note (measured on a v5e chip, batch 4): the four per-corner
+``take_along_axis`` gathers are the FAST formulation — 54 ms forward at
+640×360×3 and 30 ms at 160×90×96.  Two alternatives were built, measured,
+and removed as pessimizations:
+
+- a "fused" single ``lax.gather`` fetching each pixel's (2, 2·C) bilinear
+  patch in one gather row — 36× SLOWER at image shapes (1948 ms vs 54 ms)
+  and 4× slower at feature shapes; TPU gather throughput is not simply
+  per-row, and the multi-dim patch gather lowers pathologically at scale;
+- a custom VJP computing the x-cotangent through a scatter-free
+  sort+prefix-sum+binary-search splat (the MoE-dispatch pattern) — the
+  plain per-corner scatter-add transpose XLA derives from this forward is
+  FASTER (≈120 ms vs ≈270 ms for a full-image splat; both ≈free at
+  feature shapes).
+
+Gradients therefore go through plain JAX autodiff; they are parity-tested
+against ``torch.nn.functional.grid_sample`` autograd for both the input and
+the grid cotangents (tests/test_ops_parity.py::TestWarp).
 """
 
-import jax
 import jax.numpy as jnp
-from jax import lax
 
 
-def grid_sample_bilinear_fused(
+def grid_sample_bilinear(
     x: jnp.ndarray, grid: jnp.ndarray, padding_mode: str = "zeros"
 ) -> jnp.ndarray:
-    """FORWARD-ONLY fast grid sample (use in metrics/eval, not in losses).
+    """Sample NHWC tensor ``x`` at normalized grid positions (differentiable).
 
-    TPU gather cost is per-ROW, so instead of four one-pixel gathers this
-    fetches each pixel's full 2×2 bilinear patch (a (2, 2·C) slice of the
-    (H, W·C) view) in ONE gather row — ~4× fewer gather rows.  Its autodiff
-    TRANSPOSE however lowers to an overlapping-slice scatter that is
-    catastrophically slow on TPU (measured 20× train-step regression), so
-    the differentiable ``grid_sample_bilinear`` below keeps the per-corner
-    gather formulation.  Numerics identical to the differentiable version.
+    x: (N, H, W, C);  grid: (N, Ho, Wo, 2) with grid[..., 0] = x-coord and
+    grid[..., 1] = y-coord in [-1, 1].  Matches
+    ``torch.nn.functional.grid_sample(mode="bilinear", align_corners=False)``
+    with padding_mode "zeros" or "border".  Four per-corner gathers whose
+    autodiff transpose is a per-corner scatter-add — the fastest measured
+    formulation on TPU in both directions (see module docstring).
     """
     n, h, w, c = x.shape
     _, ho, wo, _ = grid.shape
@@ -46,73 +62,6 @@ def grid_sample_bilinear_fused(
     if padding_mode == "border":
         fx = jnp.clip(fx, 0.0, w - 1.0)
         fy = jnp.clip(fy, 0.0, h - 1.0)
-
-    x0 = jnp.floor(fx)
-    y0 = jnp.floor(fy)
-    wx = (fx - x0).reshape(n, -1, 1)
-    wy = (fy - y0).reshape(n, -1, 1)
-    x0i = x0.astype(jnp.int32).reshape(n, -1)
-    y0i = y0.astype(jnp.int32).reshape(n, -1)
-
-    xb = jnp.clip(x0i, 0, w - 2)
-    yb = jnp.clip(y0i, 0, h - 2)
-    img2 = x.reshape(n, h, w * c)
-
-    def per_image(img2d, ys, xs):
-        idx = jnp.stack([ys, xs * c], axis=-1)
-        return lax.gather(
-            img2d, idx,
-            dimension_numbers=lax.GatherDimensionNumbers(
-                offset_dims=(1, 2), collapsed_slice_dims=(),
-                start_index_map=(0, 1)),
-            slice_sizes=(2, 2 * c),
-            mode=lax.GatherScatterMode.CLIP)
-
-    patches = jax.vmap(per_image)(img2, yb, xb)
-    patches = patches.reshape(n, -1, 2, 2, c).astype(jnp.float32)
-
-    row0_is_y0 = (y0i == yb)[..., None, None]
-    col0_is_x0 = (x0i == xb)[..., None]
-
-    def pick(dy, dx):
-        row = jnp.where(row0_is_y0,
-                        patches[:, :, dy], patches[:, :, 1 - dy])
-        return jnp.where(col0_is_x0, row[:, :, dx], row[:, :, 1 - dx])
-
-    out = jnp.zeros((n, ho * wo, c), jnp.float32)
-    for dy in (0, 1):
-        for dx in (0, 1):
-            wgt = (wx if dx else 1.0 - wx) * (wy if dy else 1.0 - wy)
-            if padding_mode == "zeros":
-                xi = x0i + dx
-                yi = y0i + dy
-                valid = ((xi >= 0) & (xi < w)
-                         & (yi >= 0) & (yi < h))[..., None]
-                wgt = jnp.where(valid, wgt, 0.0)
-            out = out + pick(dy, dx) * wgt
-    return out.reshape(n, ho, wo, c).astype(x.dtype)
-
-
-def grid_sample_bilinear(
-    x: jnp.ndarray, grid: jnp.ndarray, padding_mode: str = "zeros"
-) -> jnp.ndarray:
-    """Sample NHWC tensor ``x`` at normalized grid positions (differentiable).
-
-    x: (N, H, W, C);  grid: (N, Ho, Wo, 2) with grid[..., 0] = x-coord and
-    grid[..., 1] = y-coord in [-1, 1].  Matches
-    ``torch.nn.functional.grid_sample(mode="bilinear", align_corners=False)``
-    with padding_mode "zeros" or "border".  Four per-corner gathers whose
-    transpose is a well-behaved scatter-add — use this inside losses; the
-    fused variant above is faster forward-only.
-    """
-    n, h, w, c = x.shape
-    _, ho, wo, _ = grid.shape
-    gx = grid[..., 0].astype(jnp.float32)
-    gy = grid[..., 1].astype(jnp.float32)
-
-    # align_corners=False unnormalization: src = ((g + 1) * size - 1) / 2
-    fx = ((gx + 1.0) * w - 1.0) / 2.0
-    fy = ((gy + 1.0) * h - 1.0) / 2.0
 
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
@@ -150,21 +99,19 @@ def _pixel_grid(h: int, w: int) -> jnp.ndarray:
     return jnp.stack([gx, gy], axis=-1)
 
 
-def warp(x: jnp.ndarray, flow: jnp.ndarray, padding_mode: str = "zeros",
-         fused: bool = False) -> jnp.ndarray:
+def warp(x: jnp.ndarray, flow: jnp.ndarray,
+         padding_mode: str = "zeros") -> jnp.ndarray:
     """Backward-warp ``x`` by ``flow`` (both NHWC; flow last dim = (fx, fy)).
 
     Reference semantics (ReCoNet/utilities.py:39-57): vgrid = grid + flow,
     normalized with 2·v/(dim-1) - 1, sampled with align_corners=False, zeros
-    padding.  ``fused=True`` selects the faster forward-only gather (for
-    metrics/eval, never inside differentiated losses).
+    padding.
     """
     n, h, w, _ = x.shape
     grid = _pixel_grid(h, w)[None] + flow.astype(jnp.float32)
     gx = 2.0 * grid[..., 0] / max(w - 1, 1) - 1.0
     gy = 2.0 * grid[..., 1] / max(h - 1, 1) - 1.0
-    sampler = grid_sample_bilinear_fused if fused else grid_sample_bilinear
-    return sampler(x, jnp.stack([gx, gy], axis=-1), padding_mode)
+    return grid_sample_bilinear(x, jnp.stack([gx, gy], axis=-1), padding_mode)
 
 
 def flow_warp_mask(
