@@ -210,6 +210,43 @@ class TestVideoDatasets:
         img1, img2 = ds[2]
         assert img1.shape == img2.shape == (24, 32, 3)
 
+    def test_videvo_preprocessing_end_to_end(self, tmp_path, rng):
+        """Full offline preprocessing chain (RTNSTV/datasets.py:16-85):
+        raw video → get_frames → calculate_optical_flow → VidevoFlow."""
+        cv2 = pytest.importorskip("cv2")
+        from vst_tpu.data.datasets import calculate_optical_flow, get_frames
+
+        w, h, n = 64, 48, 5
+        vdir = os.path.join(str(tmp_path), "videos")
+        os.makedirs(vdir)
+        vw = cv2.VideoWriter(os.path.join(vdir, "clip.avi"),
+                             cv2.VideoWriter_fourcc(*"MJPG"), 30, (w, h))
+        base = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        for i in range(n):
+            vw.write(np.roll(base, i * 3, axis=1))
+        vw.release()
+
+        out = os.path.join(str(tmp_path), "videvo")
+        get_frames(vdir, out, img_size_wh=(32, 24))
+        frames = sorted(os.listdir(os.path.join(out, "frames", "00000")))
+        assert len(frames) == n and frames[0] == "00000.jpg"
+
+        calculate_optical_flow(os.path.join(out, "frames"),
+                               os.path.join(out, "flow"))
+        front = sorted(os.listdir(os.path.join(out, "flow", "00000",
+                                               "front")))
+        back = sorted(os.listdir(os.path.join(out, "flow", "00000", "back")))
+        assert len(front) == len(back) == n - 1
+        assert front[0] == "00000_01.npy" and back[0] == "00001_10.npy"
+        flow = np.load(os.path.join(out, "flow", "00000", "front", front[0]))
+        assert flow.shape == (24, 32, 2) and flow.dtype == np.float32
+
+        ds = VidevoFlow(out)
+        assert len(ds) == n - 1
+        img1, img2, fl, mask = ds[0]
+        assert img1.shape == img2.shape == (24, 32, 3)
+        assert fl.shape == (24, 32, 2) and mask.shape == (24, 32)
+
 
 class TestImageDatasets:
     def _make_folder(self, root, rng, n=4):
