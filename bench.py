@@ -235,17 +235,19 @@ def bench_pipeline_stream():
     @jax.jit
     def model_fn(x):
         out = reconet.reconet(params, x.astype(jnp.bfloat16))[-1]
-        return jnp.clip(out, 0, 255).astype(jnp.float32)
+        return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
     # warm the compile outside the timed region (one-shape-per-run holds)
-    np.asarray(model_fn(jnp.zeros((8, h, w, 3), jnp.float32)))
+    np.asarray(model_fn(jnp.zeros((8, h, w, 3), jnp.uint8)))
 
     t0 = time.perf_counter()
-    # model_fn returns device arrays: StreamingStylizer keeps pipeline_depth
-    # batches in flight, overlapping decode/transfer/compute/fetch and
-    # amortizing the tunnel's fixed per-call dispatch latency.
+    # uint8 on the wire both ways (1 byte/channel vs 4), and model_fn
+    # returns device arrays: StreamingStylizer keeps pipeline_depth batches
+    # in flight, overlapping decode/transfer/compute/fetch and amortizing
+    # the tunnel's fixed per-call dispatch latency.
     frames = list(StreamingStylizer(
-        model_fn, frames_from_video(src, (w, h)), 1, 8, pipeline_depth=6))
+        model_fn, frames_from_video(src, (w, h), dtype="uint8"), 1, 8,
+        pipeline_depth=6))
     write_video(os.path.join(tmp, "out.avi"), frames, 30)
     dt_s = time.perf_counter() - t0
     fps = n_frames / dt_s

@@ -73,23 +73,27 @@ def main(argv=None):
         style = jnp.asarray(load_image_255(args.style, size)[None])
         stylizer = AdaAttNVideoStylizer(vgg_params, params, style,
                                         args.activation, args.batch_size)
-        frames = frames_from_video(args.video, size, "area")
+        frames = frames_from_video(args.video, size, "area", dtype="uint8")
         out_iter = stylizer.stylize_frames(frames)
     else:
         size = tuple(args.size or (640, 360))
+        # uint8 on the wire both ways: decoder-native frames go up, styled
+        # uint8 comes down; the jitted stylizers cast/clamp on device.
         if args.model == "rtnstv":
-            model_fn = functools.partial(stylize_rtnstv, params)
+            model_fn = functools.partial(stylize_rtnstv, params,
+                                         uint8_out=True)
         else:
             model_fn = functools.partial(stylize_reconet, params,
-                                         family=args.model)
+                                         family=args.model, uint8_out=True)
         if args.weights2:
             params2 = load_weights(args.weights2)
             fam2 = args.model2 or args.model
             if fam2 == "rtnstv":
-                model2_fn = functools.partial(stylize_rtnstv, params2)
+                model2_fn = functools.partial(stylize_rtnstv, params2,
+                                              uint8_out=True)
             else:
                 model2_fn = functools.partial(stylize_reconet, params2,
-                                              family=fam2)
+                                              family=fam2, uint8_out=True)
             base_fn = model_fn
 
             def model_fn(batch):  # noqa: F811 — side-by-side compare
@@ -97,7 +101,8 @@ def main(argv=None):
                 b = np.asarray(model2_fn(batch))
                 return np.concatenate([a, b], axis=2)
 
-        frames = frames_from_video(args.video, size, "linear")
+        frames = frames_from_video(args.video, size, "linear",
+                                   dtype="uint8")
         out_iter = iter(StreamingStylizer(
             model_fn, frames, args.input_frame_num, args.batch_size,
             args.first_frame))

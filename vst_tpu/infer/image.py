@@ -18,16 +18,34 @@ RECONET_FORWARD = {
 }
 
 
-@functools.partial(jax.jit, static_argnames=("family",))
-def stylize_reconet(params, x, family: str = "reconet"):
-    """x: (N, H, W, 3·frames) 0–255 → clamped styled frames
-    (ReCoNet/utilities.py:217-219)."""
-    return jnp.clip(RECONET_FORWARD[family](params, x)[-1], 0, 255)
+def _compute_dtype(params):
+    dt = jax.tree.leaves(params)[0].dtype
+    return dt if jnp.issubdtype(dt, jnp.floating) else jnp.float32
 
 
-@jax.jit
-def stylize_rtnstv(params, x):
-    return jnp.clip(rtnstv_m.stylizing_network(params, x), 0, 255)
+def _finish(styled, uint8_out):
+    """Clamp to 0–255; optionally truncate to uint8 ON DEVICE so the
+    device→host link carries 1 byte/channel instead of 4 (the truncating
+    cast matches the reference's numpy uint8 conversion,
+    ReCoNet/utilities.py:217-219)."""
+    styled = jnp.clip(styled, 0, 255)
+    return styled.astype(jnp.uint8) if uint8_out else styled
+
+
+@functools.partial(jax.jit, static_argnames=("family", "uint8_out"))
+def stylize_reconet(params, x, family: str = "reconet",
+                    uint8_out: bool = False):
+    """x: (N, H, W, 3·frames) 0–255 (any dtype, incl. uint8 — cast to the
+    params' compute dtype on device, so hosts can ship raw uint8 frames)
+    → clamped styled frames (ReCoNet/utilities.py:217-219)."""
+    x = x.astype(_compute_dtype(params))
+    return _finish(RECONET_FORWARD[family](params, x)[-1], uint8_out)
+
+
+@functools.partial(jax.jit, static_argnames=("uint8_out",))
+def stylize_rtnstv(params, x, uint8_out: bool = False):
+    x = x.astype(_compute_dtype(params))
+    return _finish(rtnstv_m.stylizing_network(params, x), uint8_out)
 
 
 @functools.partial(jax.jit, static_argnames=("activation",))

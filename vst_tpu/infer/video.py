@@ -21,12 +21,17 @@ from threading import Thread
 import numpy as np
 
 
-def frames_from_video(path, resize_wh=None, interpolation="linear"):
-    """Yield HWC RGB float32 frames from a video file (requires cv2).
+def frames_from_video(path, resize_wh=None, interpolation="linear",
+                      dtype="float32"):
+    """Yield HWC RGB frames from a video file (requires cv2).
 
     interpolation: "linear" (ReCoNet cvframe_to_tensor,
     ReCoNet/utilities.py:119-123) or "area" (AdaAttN cv2_to_tensor,
     AdaAttN/utilities.py:46-55).
+
+    dtype: "float32" or "uint8".  uint8 keeps the decoder's native byte
+    frames so the host→device transfer ships 1 byte/channel — the jitted
+    stylizers cast to the compute dtype on device.
     """
     import cv2
 
@@ -40,7 +45,7 @@ def frames_from_video(path, resize_wh=None, interpolation="linear"):
             frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             if resize_wh is not None and frame.shape[1::-1] != tuple(resize_wh):
                 frame = cv2.resize(frame, tuple(resize_wh), interpolation=interp)
-            yield frame.astype(np.float32)
+            yield frame if dtype == "uint8" else frame.astype(np.float32)
     finally:
         cap.release()
 
@@ -151,10 +156,14 @@ class StreamingStylizer:
 
 class AdaAttNVideoStylizer:
     """Arbitrary-style streaming stylizer: style features encoded ONCE, each
-    content frame encoded + stylized (AdaAttN/infer_video.py:40-64)."""
+    content frame encoded + stylized (AdaAttN/infer_video.py:40-64).
+
+    Frames may be uint8 or float 0–255 (cast on device); styled frames come
+    back as uint8 device arrays, and up to ``pipeline_depth`` batches are
+    kept in flight (see StreamingStylizer)."""
 
     def __init__(self, vgg_params, params, style_255, activation="cosine",
-                 batch_size: int = 2):
+                 batch_size: int = 2, pipeline_depth: int = 3):
         import functools
 
         import jax
@@ -164,34 +173,45 @@ class AdaAttNVideoStylizer:
         from vst_tpu.models import vgg as vgg_m
 
         self.batch_size = batch_size
+        self.pipeline_depth = max(1, pipeline_depth)
         fs_single = jax.jit(vgg_m.vgg19_adaattn_features)(vgg_params, style_255)
 
         @functools.partial(jax.jit, static_argnames=("n",))
         def run(vgg_params, params, content, fs_single, n):
-            fc = vgg_m.vgg19_adaattn_features(vgg_params, content)
+            fc = vgg_m.vgg19_adaattn_features(vgg_params,
+                                              content.astype(jnp.float32))
             fs = {k: jnp.broadcast_to(v, (n,) + v.shape[1:])
                   for k, v in fs_single.items()}
             cs = adaattn_m.stylizing_network(params, fc, fs, activation)
-            return jnp.clip(cs, 0, 255)
+            return jnp.clip(cs, 0, 255).astype(jnp.uint8)
 
         self._run = lambda content: run(vgg_params, params, content,
                                         fs_single, content.shape[0])
 
     def stylize_frames(self, frames):
-        """frames: iterator of HWC RGB float 0–255 → RGB uint8 frames."""
+        """frames: iterator of HWC RGB uint8/float 0–255 → RGB uint8."""
+        inflight = collections.deque()  # (device_result, n_real) FIFO
+
+        def drain_one():
+            result, n_real = inflight.popleft()
+            yield from np.asarray(result)[:n_real]
+
         batch = []
         for frame in frames:
             batch.append(frame)
             if len(batch) == self.batch_size:
-                out = np.asarray(self._run(np.stack(batch)))
-                yield from out.astype(np.uint8)
+                inflight.append((self._run(np.stack(batch)),
+                                 self.batch_size))
                 batch = []
+                while len(inflight) >= self.pipeline_depth:
+                    yield from drain_one()
         if batch:
             # pad tail to batch_size: keeps one compiled shape per run
             n_real = len(batch)
             batch = batch + [batch[-1]] * (self.batch_size - n_real)
-            out = np.asarray(self._run(np.stack(batch)))[:n_real]
-            yield from out.astype(np.uint8)
+            inflight.append((self._run(np.stack(batch)), n_real))
+        while inflight:
+            yield from drain_one()
 
 
 def write_video(path, frames, fps: float = 30.0):
