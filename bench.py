@@ -215,8 +215,7 @@ def bench_pipeline_stream():
     import jax
     import jax.numpy as jnp
 
-    from vst_tpu.infer.video import (StreamingStylizer, frames_from_video,
-                                     write_video)
+    from vst_tpu.infer.video import StreamingStylizer, frames_from_video
     from vst_tpu.models import reconet
 
     w, h, n_frames = 640, 360, 96
@@ -244,12 +243,20 @@ def bench_pipeline_stream():
     # uint8 on the wire both ways (1 byte/channel vs 4), and model_fn
     # returns device arrays: StreamingStylizer keeps pipeline_depth batches
     # in flight, overlapping decode/transfer/compute/fetch and amortizing
-    # the tunnel's fixed per-call dispatch latency.
-    frames = list(StreamingStylizer(
-        model_fn, frames_from_video(src, (w, h), dtype="uint8"), 1, 8,
-        pipeline_depth=6))
-    write_video(os.path.join(tmp, "out.avi"), frames, 30)
+    # the tunnel's fixed per-call dispatch latency.  Encode INTERLEAVES
+    # with the drain (each cv2 write happens while later batches are in
+    # flight) instead of buffering the whole clip.
+    vw_out = cv2.VideoWriter(os.path.join(tmp, "out.avi"),
+                             cv2.VideoWriter_fourcc(*"MJPG"), 30, (w, h))
+    n_out = 0
+    for frame in StreamingStylizer(
+            model_fn, frames_from_video(src, (w, h), dtype="uint8"), 1, 8,
+            pipeline_depth=6, output="bgr_uint8"):
+        vw_out.write(frame)
+        n_out += 1
+    vw_out.release()
     dt_s = time.perf_counter() - t0
+    assert n_out == n_frames, (n_out, n_frames)
     fps = n_frames / dt_s
     return "stream_e2e_640x360_fps", fps, "frames/sec", fps / 30.0
 
