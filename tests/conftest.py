@@ -21,6 +21,15 @@ import jax
 # works reliably for pinning the test session to the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the slow tier is XLA-compile-bound (10 distinct
+# jitted train steps and several CLI graphs); caching compiled executables
+# makes repeat runs of the full suite minutes faster.  Override the
+# location with VST_TEST_CACHE_DIR=; set it empty to disable.
+_cache = os.environ.get("VST_TEST_CACHE_DIR", "/tmp/vst_tpu_test_cache")
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
