@@ -279,16 +279,19 @@ PATHS = {
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--path", default="reconet-512", choices=sorted(PATHS))
+    p.add_argument("--path", default="reconet-512",
+                   choices=sorted(PATHS) + ["all"])
     args = p.parse_args(argv)
     _enable_compile_cache()
-    metric, value, unit, vs = PATHS[args.path]()
-    print(json.dumps({
-        "metric": metric,
-        "value": round(value, 2),
-        "unit": unit,
-        "vs_baseline": round(vs, 2),
-    }))
+    names = sorted(PATHS) if args.path == "all" else [args.path]
+    for name in names:
+        metric, value, unit, vs = PATHS[name]()
+        print(json.dumps({
+            "metric": metric,
+            "value": round(value, 2),
+            "unit": unit,
+            "vs_baseline": round(vs, 2),
+        }), flush=True)
 
 
 if __name__ == "__main__":
