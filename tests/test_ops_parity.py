@@ -94,7 +94,9 @@ class TestResize:
     @pytest.mark.parametrize(
         "in_hw,out_hw",
         [((64, 64), (32, 32)), ((17, 23), (40, 31)), ((64, 128), (16, 32)),
-         ((8, 8), (256, 256)), ((36, 40), (9, 10))],
+         ((8, 8), (256, 256)), ((36, 40), (9, 10)),
+         # exact-×2 cases dispatch to the 2-tap upsample_bilinear2x path
+         ((16, 24), (32, 48)), ((1, 4), (2, 8)), ((3, 3), (6, 6))],
     )
     def test_bilinear_matches_torch(self, rng, in_hw, out_hw):
         x = rand(rng, 2, *in_hw, 3)
