@@ -7,8 +7,7 @@ All ops take NHWC tensors and match the reference's PyTorch numerics
 from vst_tpu.ops.pad import reflection_pad2d
 from vst_tpu.ops.conv import conv2d, conv_transpose2d, max_pool2d
 from vst_tpu.ops.norm import instance_norm
-from vst_tpu.ops.resize import (resize_bilinear, upsample_bilinear2x,
-    upsample_nearest)
+from vst_tpu.ops.resize import resize_bilinear, upsample_nearest
 from vst_tpu.ops.warp import grid_sample_bilinear, warp, flow_warp_mask
 from vst_tpu.ops.image import (
     vgg_normalize,
@@ -25,7 +24,6 @@ __all__ = [
     "max_pool2d",
     "instance_norm",
     "resize_bilinear",
-    "upsample_bilinear2x",
     "upsample_nearest",
     "grid_sample_bilinear",
     "warp",

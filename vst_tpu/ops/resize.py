@@ -12,16 +12,17 @@
 TPU-first design: general bilinear resize is expressed as two small dense
 matmuls (separable row/column interpolation matrices, built at trace time
 with static shapes) so it runs on the MXU and fuses with neighbouring ops,
-instead of the gather formulation a literal port would use.  The exact ×2
-upsample — the only case on the decoder hot paths — dispatches to a fixed
-(0.25, 0.75) two-tap blend instead (see ``upsample_bilinear2x``).
+instead of the gather formulation a literal port would use.  Measured and
+kept over two ×2-specializations that LOST: a 2-tap elementwise blend
+(0.60 vs 0.13 ms for 256²→512²×64 — the interleave transposes thrash
+layout) and an lhs-dilated depthwise conv (0.48 ms).  The dense matrices
+are MXU-friendly and fuse with neighbouring convs.
 """
 
 import functools
 
 import numpy as np
 import jax.numpy as jnp
-from jax import lax
 
 from vst_tpu.ops._precision import matmul_precision
 
@@ -48,36 +49,6 @@ def _linear_matrix(in_size: int, out_size: int) -> np.ndarray:
     return m
 
 
-def _up2_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Exact ×2 bilinear upsample along one axis (align_corners=False).
-
-    Output sample 2i sits at source i−0.25 and 2i+1 at i+0.25, so every
-    output is a fixed (0.25, 0.75) blend of two neighbours with edge
-    clamping — 2 fused elementwise ops instead of a dense (2n, n) matmul
-    (the general resize path costs out·in·rest MXU FLOPs, ~26 GF for a
-    512²×64 decoder upsample; this is pure VPU/HBM at O(out))."""
-    xf = x.astype(jnp.float32)
-    lo = jnp.concatenate(
-        [lax.slice_in_dim(xf, 0, 1, axis=axis),
-         lax.slice_in_dim(xf, 0, xf.shape[axis] - 1, axis=axis)], axis=axis)
-    hi = jnp.concatenate(
-        [lax.slice_in_dim(xf, 1, xf.shape[axis], axis=axis),
-         lax.slice_in_dim(xf, xf.shape[axis] - 1, xf.shape[axis],
-                          axis=axis)], axis=axis)
-    even = 0.25 * lo + 0.75 * xf
-    odd = 0.75 * xf + 0.25 * hi
-    out = jnp.stack([even, odd], axis=axis + 1)
-    shape = list(x.shape)
-    shape[axis] *= 2
-    return out.reshape(shape)
-
-
-def upsample_bilinear2x(x: jnp.ndarray) -> jnp.ndarray:
-    """NHWC ×2 bilinear upsample, bit-matching ``resize_bilinear`` to
-    (2H, 2W) (torch align_corners=False semantics)."""
-    return _up2_axis(_up2_axis(x, 1), 2).astype(x.dtype)
-
-
 def resize_bilinear(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     """Resize NHWC tensor to (out_h, out_w), matching torch bilinear
     interpolate with align_corners=False and antialias=False."""
@@ -85,8 +56,6 @@ def resize_bilinear(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     n, h, w, c = x.shape
     if (h, w) == (out_h, out_w):
         return x
-    if (out_h, out_w) == (2 * h, 2 * w):
-        return upsample_bilinear2x(x)
     mh = jnp.asarray(_linear_matrix(h, out_h))
     mw = jnp.asarray(_linear_matrix(w, out_w))
     prec = matmul_precision(x.dtype)
