@@ -75,6 +75,40 @@ class TestTrainCLI:
         assert any(f.endswith(".pth") for f in files)
         assert any(f.endswith("_last_state.pkl") for f in files)
 
+    def test_rtnstv_data_parallel(self, tmp_path, rng):
+        """--data-parallel 8 on the virtual CPU mesh: batch sharded on the
+        "data" axis, params replicated, checkpoints written from the
+        sharded state (the conftest forces 8 host devices)."""
+        root = str(tmp_path / "sceneflow")
+        _make_sceneflow_scene(os.path.join(root, "monkaa"), rng, 9, "monkaa")
+        _make_sceneflow_scene(os.path.join(root, "flyingthings3d"), rng, 9,
+                              "ft3d")
+        style = _png(str(tmp_path / "style.png"), rng)
+        out_dir = str(tmp_path / "models")
+        cli_train.main([
+            "--trainer", "rtnstv", "--data", root, "--style", style,
+            "--out-dir", out_dir, "--epochs", "1", "--batch-size", "8",
+            "--img-size", "24", "32", "--log-every", "1",
+            "--data-parallel", "8",
+        ])
+        files = os.listdir(out_dir)
+        assert any(f.endswith(".npz") for f in files)
+        assert any(f.endswith("_last_state.pkl") for f in files)
+
+    def test_data_parallel_batch_mismatch_exits(self, tmp_path, rng):
+        root = str(tmp_path / "sceneflow")
+        _make_sceneflow_scene(os.path.join(root, "monkaa"), rng, 5, "monkaa")
+        _make_sceneflow_scene(os.path.join(root, "flyingthings3d"), rng, 5,
+                              "ft3d")
+        style = _png(str(tmp_path / "style.png"), rng)
+        with pytest.raises(SystemExit, match="divisible"):
+            cli_train.main([
+                "--trainer", "rtnstv", "--data", root, "--style", style,
+                "--out-dir", str(tmp_path / "m"), "--epochs", "1",
+                "--batch-size", "3", "--img-size", "24", "32",
+                "--data-parallel", "8",
+            ])
+
     def test_reconet_candy_one_epoch(self, tmp_path, rng):
         root = str(tmp_path / "sceneflow")
         _make_sceneflow_scene(os.path.join(root, "monkaa"), rng, 5, "monkaa")

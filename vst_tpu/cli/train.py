@@ -60,6 +60,10 @@ def build_parser():
                    help="rtnstv: SceneFlow GT flow (active reference path) "
                         "or Videvo precomputed flow (RTNSTV/train.py:66-72 "
                         "commented variant)")
+    p.add_argument("--data-parallel", type=int, default=0, metavar="N",
+                   help="shard the batch across N devices (0 = off, "
+                        "-1 = all available); params are replicated and "
+                        "XLA inserts the gradient all-reduce over ICI")
     p.add_argument("--platform", choices=["cpu", "tpu"],
                    help="pin the JAX backend (default: auto; also "
                         "honours VST_PLATFORM)")
@@ -210,12 +214,32 @@ def main(argv=None):
                 print(f"auto-resume: step {int(state.step)} → "
                       f"epoch {args.epoch_start}")
 
+    sharding = None
+    if args.data_parallel:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from vst_tpu.parallel import make_mesh, replicate
+
+        n = args.data_parallel if args.data_parallel > 0 else None
+        mesh = make_mesh(n, ("data",))
+        n_dev = mesh.devices.size
+        if cfg.batch_size % n_dev:
+            raise SystemExit(
+                f"--batch-size {cfg.batch_size} must be divisible by the "
+                f"{n_dev}-device data mesh")
+        state = replicate(mesh, state)
+        # dim 0 (batch) sharded on "data", all other dims replicated —
+        # a partial PartitionSpec applies across every batch-leaf rank
+        sharding = NamedSharding(mesh, PartitionSpec("data"))
+        print(f"data-parallel over {n_dev} devices "
+              f"({cfg.batch_size // n_dev} samples/device)")
+
     run_training(
         step, state, dataset,
         batch_size=cfg.batch_size, epochs=cfg.epochs,
         epoch_start=args.epoch_start, out_dir=args.out_dir,
         model_name=name, seed=args.seed, log_every=args.log_every,
-        loss_plots_dir=args.loss_plots_dir)
+        loss_plots_dir=args.loss_plots_dir, sharding=sharding)
 
 
 if __name__ == "__main__":
