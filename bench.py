@@ -66,21 +66,24 @@ def _chain_fps(run_frames, batch, short=8, long=40, reps=3):
     return (long - short) * batch / max(t_long - t_short, 1e-9)
 
 
-def bench_reconet_512():
+def bench_reconet_512(family="reconet"):
     import jax
     import jax.numpy as jnp
 
     from vst_tpu.models import reconet
 
-    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16),
-                          reconet.init_reconet(0))
+    init = {"reconet": reconet.init_reconet, "sd1": reconet.init_reconet_sd1,
+            "sd2": reconet.init_reconet_sd2}[family]
+    fwd = {"reconet": reconet.reconet, "sd1": reconet.reconet_sd1,
+           "sd2": reconet.reconet_sd2}[family]
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), init(0))
     batch, h, w = 8, 512, 512
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def run(params, x, n_steps):
         def body(carry, i):
             xi = x + i.astype(jnp.bfloat16)
-            out = jnp.clip(reconet.reconet(params, xi)[-1], 0, 255)
+            out = jnp.clip(fwd(params, xi)[-1], 0, 255)
             return jnp.mean(out.astype(jnp.float32)), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0.0),
@@ -91,7 +94,7 @@ def bench_reconet_512():
     x = jnp.asarray((rng.random((batch, h, w, 3)) * 255).astype(np.float32),
                     dtype=jnp.bfloat16)
     fps = _chain_fps(lambda n: run(params, x, n), batch)
-    return "reconet_512p_stylized_fps_per_chip", fps, "frames/sec", fps / 30.0
+    return f"{family}_512p_stylized_fps_per_chip", fps, "frames/sec", fps / 30.0
 
 
 def _bench_adaattn(w, h, batch, activation, metric):
@@ -263,6 +266,8 @@ def bench_pipeline_stream():
 
 PATHS = {
     "reconet-512": bench_reconet_512,
+    "sd1-512": lambda: bench_reconet_512("sd1"),
+    "sd2-512": lambda: bench_reconet_512("sd2"),
     "adaattn-video-512x256": lambda: _bench_adaattn(
         512, 256, 4, "cosine", "adaattn_video_512x256_fps_per_chip"),
     "adaattn-video-512": lambda: _bench_adaattn(
