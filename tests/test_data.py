@@ -343,3 +343,42 @@ class TestPipeline:
         np.testing.assert_array_equal(
             np.asarray(seen[0][0][:, 0, 0, 0]), [0.0, 1.0])
         assert float(jnp.mean(seen[1][0])) == 2.5
+
+
+class TestFlowVisualization:
+    def test_visualize_flow(self, rng):
+        """HSV flow viz (ReCoNet/utilities.py:28-36): BGR uint8, zero flow
+        is black (zero magnitude -> zero value)."""
+        cv2 = pytest.importorskip("cv2")
+        from vst_tpu.data.flow_np import visualize_flow
+
+        flow = rng.standard_normal((12, 16, 2)).astype(np.float32) * 4
+        rgb = visualize_flow(flow)
+        assert rgb.shape == (12, 16, 3) and rgb.dtype == np.uint8
+        assert rgb.max() > 0
+
+        black = visualize_flow(np.zeros((8, 8, 2), np.float32))
+        assert black.max() == 0
+
+    def test_visualize_dataset_tool(self, tmp_path, rng):
+        """tools/visualize_dataset.py dumps frame/warp/mask/flow PNGs."""
+        pytest.importorskip("cv2")
+        import importlib.util
+        import os as _os
+
+        root = str(tmp_path / "sf")
+        _make_sceneflow_scene(_os.path.join(root, "monkaa"), rng, 4,
+                              "monkaa")
+        spec = importlib.util.spec_from_file_location(
+            "visualize_dataset",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), "tools",
+                "visualize_dataset.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        out = str(tmp_path / "viz")
+        mod.main(["--data", root, "--dataset", "monkaa", "--n", "2",
+                  "--img-size", "24", "32", "--out", out])
+        files = sorted(_os.listdir(out))
+        assert "000_flow.png" in files and "001_warped_masked.png" in files
+        assert len(files) == 12

@@ -93,3 +93,18 @@ def flow_warp_mask_np(flow01: np.ndarray, flow10: np.ndarray,
     warped = _grid_sample_bilinear_np(target, fx, fy)
     err = np.abs(warped - grid).sum(axis=-1)
     return (err < threshold).astype(np.float32)
+
+
+def visualize_flow(flow: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 BGR flow visualization: angle → hue, magnitude →
+    value over full saturation (ReCoNet/utilities.py:28-36, identical in
+    RTNSTV).  ``flow``: (H, W, 2) with channels (fx, fy).  Requires cv2."""
+    import cv2
+
+    hsv = np.zeros((flow.shape[0], flow.shape[1], 3), dtype=np.uint8)
+    hsv[..., 1] = 255
+    mag, ang = cv2.cartToPolar(flow[..., 0].astype(np.float32),
+                               flow[..., 1].astype(np.float32))
+    hsv[..., 0] = ang * 180 / np.pi / 2
+    hsv[..., 2] = cv2.normalize(mag, None, 0, 255, cv2.NORM_MINMAX)
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
