@@ -285,9 +285,13 @@ def make_rtnstv_step(cfg, vgg_params, style_grams, optimizer):
 
 # ----------------------------------------------------------------- AdaAttN
 
-def _adaattn_gs_lf(cfg, params, vgg_params, fc, fs, cs):
-    """Global-stylized + local-feature losses (train_image.py:84-106)."""
-    fcs = vgg_m.vgg19_adaattn_features(vgg_params, cs)
+def _adaattn_gs_lf(cfg, params, vgg_params, fc, fs, cs, fcs=None):
+    """Global-stylized + local-feature losses (train_image.py:84-106).
+
+    ``fcs``: optionally precomputed VGG taps of ``cs`` (the video step
+    encodes both stylized frames in one batched pass)."""
+    if fcs is None:
+        fcs = vgg_m.vgg19_adaattn_features(vgg_params, cs)
     loss_gs = 0.0
     for tap in ("relu2_1", "relu3_1", "relu4_1", "relu5_1"):
         loss_gs = loss_gs + losses.global_stylized_loss(fcs[tap], fs[tap])
@@ -361,13 +365,19 @@ def make_adaattn_video_step(cfg, vgg_params, optimizer):
         fc1 = {k: v[:n] for k, v in f.items()}
         fc2 = {k: v[n:2 * n] for k, v in f.items()}
         fs = {k: v[2 * n:] for k, v in f.items()}
-        cs1 = adaattn_m.stylizing_network(params, fc1, fs, cfg.activation,
-                                          mode="train")
-        cs2 = adaattn_m.stylizing_network(params, fc2, fs, cfg.activation,
-                                          mode="train")
-        fcs1, loss_gs, loss_lf = _adaattn_gs_lf(
-            cfg, params, vgg_params, fc1, fs, cs1)
-        fcs2 = vgg_m.vgg19_adaattn_features(vgg_params, cs2)
+        # ONE batched stylizer pass over the frame pair (style features
+        # tiled; attention/IN/decoder are per-sample: exact) and ONE VGG
+        # pass over both stylized frames
+        fc_cat = {k: jnp.concatenate([fc1[k], fc2[k]], axis=0) for k in fc1}
+        fs_cat = {k: jnp.concatenate([v, v], axis=0) for k, v in fs.items()}
+        cs = adaattn_m.stylizing_network(params, fc_cat, fs_cat,
+                                         cfg.activation, mode="train")
+        cs1 = cs[:n]
+        f_cs = vgg_m.vgg19_adaattn_features(vgg_params, cs)
+        fcs1 = {k: v[:n] for k, v in f_cs.items()}
+        fcs2 = {k: v[n:] for k, v in f_cs.items()}
+        _, loss_gs, loss_lf = _adaattn_gs_lf(
+            cfg, params, vgg_params, fc1, fs, cs1, fcs=fcs1)
 
         loss_is = 0.0
         for tap in ("relu2_1", "relu3_1", "relu4_1"):
