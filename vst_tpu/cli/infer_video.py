@@ -40,6 +40,9 @@ def build_parser():
     p.add_argument("--input-frame-num", type=int, default=1)
     p.add_argument("--first-frame", type=int)
     p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--pipeline-depth", type=int, default=3,
+                   help="batches kept in flight on device (overlaps "
+                        "decode/transfer/compute/fetch)")
     p.add_argument("--size", type=int, nargs=2, metavar=("W", "H"),
                    help="frame size (reconet default 640 360; adaattn 512 256)")
     p.add_argument("--out", help="output video path (.mp4); omit to only "
@@ -72,7 +75,8 @@ def main(argv=None):
         vgg_params = load_vgg_weights(args.vgg_weights, "vgg19_adaattn")
         style = jnp.asarray(load_image_255(args.style, size)[None])
         stylizer = AdaAttNVideoStylizer(vgg_params, params, style,
-                                        args.activation, args.batch_size)
+                                        args.activation, args.batch_size,
+                                        pipeline_depth=args.pipeline_depth)
         frames = frames_from_video(args.video, size, "area", dtype="uint8")
         out_iter = stylizer.stylize_frames(frames)
     else:
@@ -105,7 +109,7 @@ def main(argv=None):
                                    dtype="uint8")
         out_iter = iter(StreamingStylizer(
             model_fn, frames, args.input_frame_num, args.batch_size,
-            args.first_frame))
+            args.first_frame, pipeline_depth=args.pipeline_depth))
 
     show = args.show
     if show:
