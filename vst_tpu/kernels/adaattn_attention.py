@@ -305,11 +305,15 @@ _moments.defvjp(_moments_fwd, _moments_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
-def softmax_attention_moments_pallas(q, k, v, bq: int = 256, bk: int = 512,
+def softmax_attention_moments_pallas(q, k, v, bq: int = 1024, bk: int = 512,
                                      interpret: bool = False):
     """q: (b, n, d), k: (b, m, d), v: (b, m, c) → (M1, M2) each (b, n, c).
 
     Matches ``_attention_moments_softmax_exact`` numerics to fp32 rounding;
     differentiable via the flash-style custom VJP above.
+
+    Default blocks from an on-chip sweep at the 512² relu3_1 shape
+    (b2, n=m=16384, d=448, c=256): (1024, 512) ran 34.1 ms vs 37.2 ms for
+    the previous (256, 512); tall q blocks amortize the k/v reload.
     """
     return _moments(q, k, v, bq, bk, interpret)
