@@ -272,6 +272,8 @@ PATHS = {
         512, 256, 4, "cosine", "adaattn_video_512x256_fps_per_chip"),
     "adaattn-video-512": lambda: _bench_adaattn(
         512, 512, 2, "cosine", "adaattn_video_512p_fps_per_chip"),
+    "adaattn-video-512-b4": lambda: _bench_adaattn(
+        512, 512, 4, "cosine", "adaattn_video_512p_b4_fps_per_chip"),
     "adaattn-image-pallas": lambda: _bench_adaattn(
         512, 256, 2, "softmax", "adaattn_softmax_512x256_fps_per_chip"),
     "adaattn-softmax-512": lambda: _bench_adaattn(
