@@ -214,6 +214,11 @@ def _backward(res, grads, bq, bk, interpret):
     m = k.shape[1]
     c = v.shape[2]
     prec = matmul_precision(q.dtype)
+    # the backward kernels carry more per-block state (f32 dq/dk/dv
+    # accumulators + the dM1/dM2 cotangent blocks); the forward's tall
+    # bq=1024 block overflows the 16 MB VMEM scoped limit by ~0.4 MB at
+    # the 512p relu3_1 shape, so cap the q block here independently
+    bq = min(bq, 512)
 
     # softmax row correction D_i = dM1_i·M1_i + dM2_i·M2_i
     dd = (jnp.sum(dm1.astype(jnp.float32) * o1.astype(jnp.float32),
