@@ -28,8 +28,12 @@ def setup_jax(platform: str | None = None):
     if platform:
         try:
             jax.config.update("jax_platforms", platform)
-        except Exception:
-            pass
+        except Exception as e:
+            import sys
+
+            print(f"warning: failed to pin JAX platform '{platform}' "
+                  f"({e}); running on "
+                  f"{jax.default_backend()}", file=sys.stderr)
 
 
 def load_image_255(path, size_wh=None):

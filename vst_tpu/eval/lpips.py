@@ -28,7 +28,6 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from vst_tpu.models.vgg import VGG16_CFG, _layer_table
 from vst_tpu.ops import conv2d, max_pool2d

@@ -6,6 +6,13 @@ Parity target: AdaAttN/SIFID/sifid_score.py:54-182:
   sifid_score.py:119);
 - Fréchet distance with matrix sqrt (scipy.linalg.sqrtm), eps jitter on
   singular covariances (:128-182).
+
+Tolerance note: on small images (H·W positions < C channels) the sample
+covariance is rank-deficient, scipy emits ``LinAlgWarning: Matrix is
+singular`` inside ``sqrtm``, and the eps-jitter branch below kicks in —
+exactly as the reference behaves on the same inputs (sifid_score.py:152-156).
+The warning is expected there, not a defect; the returned distance is the
+jittered-covariance value on both sides.
 """
 
 import functools
