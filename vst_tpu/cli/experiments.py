@@ -23,7 +23,15 @@ def build_parser():
     p = argparse.ArgumentParser(prog="vst_tpu.cli.experiments")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    pi = sub.add_parser("image", help="content×style stylize + metric sweep")
+    # shared flags every subcommand accepts after/among its own flags,
+    # matching the sibling CLIs (train/infer/evaluate)
+    shared = argparse.ArgumentParser(add_help=False)
+    shared.add_argument("--platform", choices=["cpu", "tpu"],
+                        help="pin the JAX backend (default: auto; also "
+                             "honours VST_PLATFORM)")
+
+    pi = sub.add_parser("image", parents=[shared],
+                        help="content×style stylize + metric sweep")
     pi.add_argument("--contents", required=True)
     pi.add_argument("--styles", required=True)
     pi.add_argument("--weights", required=True)
@@ -36,7 +44,7 @@ def build_parser():
     pi.add_argument("--inception-weights", help="enables SIFID columns")
     pi.add_argument("--out", default="./results/results.csv")
 
-    pv = sub.add_parser("video", help="warping error + flow MSE over a video")
+    pv = sub.add_parser("video", parents=[shared], help="warping error + flow MSE over a video")
     pv.add_argument("--model", required=True,
                     choices=["reconet", "sd1", "sd2", "rtnstv"])
     pv.add_argument("--weights", required=True)
@@ -47,14 +55,14 @@ def build_parser():
                     choices=["farneback", "raft"])
     pv.add_argument("--raft-weights")
 
-    pe = sub.add_parser("sintel-et", help="RTNSTV Et over Sintel scenes")
+    pe = sub.add_parser("sintel-et", parents=[shared], help="RTNSTV Et over Sintel scenes")
     pe.add_argument("--weights", required=True)
     pe.add_argument("--sintel", required=True,
                     help="MPI-Sintel-complete root")
     pe.add_argument("--scenes", nargs="*", default=["alley_1"])
     pe.add_argument("--out", default="./results/sintel_et.csv")
 
-    pa = sub.add_parser("sintel-ada",
+    pa = sub.add_parser("sintel-ada", parents=[shared],
                         help="AdaAttN Sintel masked warped error "
                              "(exps_sintel.py)")
     pa.add_argument("--weights", required=True)
@@ -75,15 +83,12 @@ def build_parser():
                     metavar=("H", "W"))
     pa.add_argument("--out", default="./results/sintel_results.csv")
 
-    pm = sub.add_parser("mse", help="ReCoNet video temporal MSE")
+    pm = sub.add_parser("mse", parents=[shared], help="ReCoNet video temporal MSE")
     pm.add_argument("--model", default="reconet",
                     choices=["reconet", "sd1", "sd2"])
     pm.add_argument("--weights", required=True)
     pm.add_argument("--video", required=True)
     pm.add_argument("--input-frame-num", type=int, default=1)
-    p.add_argument("--platform", choices=["cpu", "tpu"],
-                   help="pin the JAX backend (default: auto; also "
-                        "honours VST_PLATFORM)")
     return p
 
 
@@ -197,7 +202,7 @@ def run_video(args):
 
     from vst_tpu.cli.common import load_weights
     from vst_tpu.data.flow_np import flow_warp_mask_np
-    from vst_tpu.eval.temporal import flow_mse, warping_error_step
+    from vst_tpu.eval.temporal import flow_mse, map_batched, warping_error_terms
     from vst_tpu.infer.image import stylize_reconet, stylize_rtnstv
     from vst_tpu.infer.video import frames_from_video
 
@@ -214,20 +219,48 @@ def run_video(args):
         return cv2.calcOpticalFlowFarneback(
             ga, gb, None, 0.5, 5, 15, 3, 5, 1.2, 0)
 
-    prev = None
+    # Stream in fixed-size chunks: each chunk is stylized in ONE device call
+    # and its pair terms evaluated in ONE batched dispatch (bounded host
+    # memory; the reference loops batch-1 per frame, exps_video.py:54-117).
+    batch = 8
     total, count, fmse = 0.0, 0, 0.0
+    carry = None  # (last content frame, last styled frame) across chunks
+    chunk: list = []
+
+    def process(chunk, carry):
+        nonlocal total, count, fmse
+        styled = map_batched(model_fn, np.stack(chunk).astype(np.float32),
+                             batch)
+        contents = list(chunk)
+        styled = list(styled)
+        if carry is not None:
+            contents.insert(0, carry[0])
+            styled.insert(0, carry[1])
+        f10s, masks = [], []
+        for c1, c2, cs1, cs2 in zip(contents[:-1], contents[1:],
+                                    styled[:-1], styled[1:]):
+            f01, f10 = flow(c1, c2), flow(c2, c1)
+            f10s.append(f10)
+            masks.append(flow_warp_mask_np(f01, f10))
+            fmse += flow_mse(f10, flow(cs2, cs1))
+        if f10s:
+            terms = map_batched(
+                warping_error_terms,
+                (np.stack(styled[:-1]).astype(np.float32),
+                 np.stack(styled[1:]).astype(np.float32),
+                 np.stack(f10s).astype(np.float32),
+                 np.stack(masks).astype(np.float32)), batch)
+            total += float(terms.sum())
+            count += len(f10s)
+        return (contents[-1], styled[-1])
+
     for frame in frames_from_video(args.video, tuple(args.size), "linear"):
-        styled = np.asarray(model_fn(frame[None]))[0]
-        if prev is not None:
-            c1, cs1 = prev
-            f01, f10 = flow(c1, frame), flow(frame, c1)
-            mask = flow_warp_mask_np(f01, f10)
-            total += float(warping_error_step(
-                jnp.asarray(cs1)[None], jnp.asarray(styled)[None],
-                jnp.asarray(f10)[None], jnp.asarray(mask)[None]))
-            fmse += flow_mse(f10, flow(styled, cs1))
-            count += 1
-        prev = (frame, styled)
+        chunk.append(frame)
+        if len(chunk) == batch:
+            carry = process(chunk, carry)
+            chunk = []
+    if chunk:
+        carry = process(chunk, carry)
     warping_error = float(np.sqrt(total / count))
     print(f"Warping Error: {warping_error}")
     print(f"Flow MSE: {fmse / count}")
@@ -271,19 +304,36 @@ def run_sintel_et(args):
 
 
 def run_sintel_ada(args):
+    import functools
+
+    import jax
     import jax.numpy as jnp
 
     from vst_tpu.cli.common import load_image_255, load_vgg_weights, load_weights
     from vst_tpu.data.datasets import list_files, load_image
     from vst_tpu.data.flow_np import flow_warp_mask_np, resize_flow_np
     from vst_tpu.data.flowio import read_sintel_flo
-    from vst_tpu.eval.temporal import sintel_optical_loss_step
-    from vst_tpu.infer.image import stylize_adaattn
+    from vst_tpu.eval.temporal import map_batched, sintel_optical_loss_terms
+    from vst_tpu.models import adaattn as adaattn_m
+    from vst_tpu.models import vgg as vgg_m
 
     h, w = args.size
     params = load_weights(args.weights)
     vgg_params = load_vgg_weights(args.vgg_weights, "vgg19_adaattn")
     style = jnp.asarray(load_image_255(args.style, (w, h))[None])
+    # style features encoded ONCE, content frames stylized in fixed-size
+    # batches (the reference stylizes batch-1 per frame, exps_sintel.py:75-80)
+    fs_single = jax.jit(vgg_m.vgg19_adaattn_features)(vgg_params, style)
+
+    @jax.jit
+    def stylize_batch(content):
+        fc = vgg_m.vgg19_adaattn_features(vgg_params,
+                                          content.astype(jnp.float32))
+        n = content.shape[0]
+        fs = {k: jnp.broadcast_to(v, (n,) + v.shape[1:])
+              for k, v in fs_single.items()}
+        cs = adaattn_m.stylizing_network(params, fc, fs, args.activation)
+        return jnp.clip(cs, 0, 255) / 255.0
 
     def flows_and_mask(scene, idx, frames):
         """Returns (swap, flow, mask): with GT forward flow the roles swap —
@@ -320,25 +370,26 @@ def run_sintel_ada(args):
         return False, f10, flow_warp_mask_np(f01, f10)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    batch = 8
+    loss_fn = functools.partial(sintel_optical_loss_terms,
+                                use_mae=(args.metric == "mae"))
     rows = []
     for scene in args.scenes:
         frame_files = list_files(
             os.path.join(args.sintel, "training/final", scene))
         frames = [load_image(p, (w, h)) for p in frame_files]
-        total, count = 0.0, 0
-        for i in range(len(frames) - 1):
-            cs1 = stylize_adaattn(vgg_params, params,
-                                  jnp.asarray(frames[i][None]), style,
-                                  args.activation) / 255.0
-            cs2 = stylize_adaattn(vgg_params, params,
-                                  jnp.asarray(frames[i + 1][None]), style,
-                                  args.activation) / 255.0
-            swap, flow, mask = flows_and_mask(scene, i, frames)
-            src, dst = (cs2, cs1) if swap else (cs1, cs2)
-            total += float(sintel_optical_loss_step(
-                src, dst, jnp.asarray(flow)[None],
-                jnp.asarray(mask)[None], use_mae=(args.metric == "mae")))
-            count += 1
+        count = len(frames) - 1
+        styled = map_batched(stylize_batch,
+                             np.stack(frames).astype(np.float32), batch)
+        pair_data = [flows_and_mask(scene, i, frames) for i in range(count)]
+        flows = np.stack([p[1] for p in pair_data]).astype(np.float32)
+        masks = np.stack([p[2] for p in pair_data]).astype(np.float32)
+        # with GT forward flow src/dst swap (see flows_and_mask docstring) —
+        # the engine is uniform per run, so the whole scene batches one way
+        src, dst = ((styled[1:], styled[:-1]) if pair_data[0][0]
+                    else (styled[:-1], styled[1:]))
+        per_pair = map_batched(loss_fn, (src, dst, flows, masks), batch)
+        total = float(per_pair.sum())
         loss = float(np.sqrt(total) / count)
         rows.append({"Scene": scene, "Optical Flow Loss": loss})
         print(scene, loss)
