@@ -58,6 +58,54 @@ def stylize_adaattn(vgg_params, params, content, style,
     return jnp.clip(cs, 0, 255)
 
 
+_ADA_SHARDED_CACHE = {}
+
+
+def stylize_adaattn_sharded(vgg_params, params, content, style, mesh,
+                            activation: str = "cosine", axis: str = "space"):
+    """Full AdaAttN pipeline — VGG19 encode + sequence-parallel cosine
+    attention + decoder — as ONE jitted multi-device program.
+
+    The content frame's H axis is sharded over ``axis``: the VGG convs and
+    decoder run spatially sharded (XLA inserts halo exchanges over ICI),
+    and the attention runs in the sequence-parallel linear form (one psum
+    of the small key moments — vst_tpu.parallel.attention).  This is the
+    serving path for resolutions beyond one chip's working set; numerics
+    match the single-device linear form (tested in test_parallel.py).
+
+    Requirements: content H divisible by 16·axis_size (so every VGG tap's
+    token count splits evenly); style may be batch-1 (broadcast to the
+    content batch on device, encoded once).  Sequence-parallel attention is
+    cosine-only — the video model's activation (AdaAttN/train_video.py:39).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = (mesh, activation, axis)
+    run = _ADA_SHARDED_CACHE.get(key)
+    if run is None:
+
+        @jax.jit
+        def run(vgg_params, params, content, style):
+            fc = vgg_m.vgg19_adaattn_features(
+                vgg_params, content.astype(jnp.float32))
+            fs0 = vgg_m.vgg19_adaattn_features(
+                vgg_params, style.astype(jnp.float32))
+            n = content.shape[0]
+            fs = {k: jnp.broadcast_to(v, (n,) + v.shape[1:])
+                  for k, v in fs0.items()}
+            cs = adaattn_m.stylizing_network(params, fc, fs, activation,
+                                             mesh=mesh, mesh_axis=axis)
+            return jnp.clip(cs, 0, 255)
+
+        _ADA_SHARDED_CACHE[key] = run
+    rep = NamedSharding(mesh, P())
+    return run(
+        jax.device_put(vgg_params, rep), jax.device_put(params, rep),
+        jax.device_put(content, NamedSharding(mesh, P(None, axis, None, None))),
+        jax.device_put(style, rep))
+
+
 def stylize_spatial_sharded(params, x, mesh, family: str = "reconet",
                             axis: str = "space"):
     """High-resolution stylization with the image H axis sharded across a

@@ -15,7 +15,11 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.5 exposes shard_map at the top level; the experimental
+    from jax import shard_map  # path is deprecated (removed after 0.8)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from vst_tpu.ops._precision import matmul_precision
 
