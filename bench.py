@@ -13,6 +13,13 @@ Paths:
   adaattn-softmax-512    AdaAttN softmax at 512² (the kernel's real target)
   reconet-train-f32      full ReCoNet flow-objective train step, 640×360 b4
   reconet-train-bf16     same, bfloat16 mixed precision
+  adaattn-image-train[-f32|-exact|-pallas]
+                         AdaAttN image trainer, 256² b8 softmax
+                         (reference shape; -exact/-pallas pin the attention
+                         strategy for the threshold decision in
+                         models/adaattn.py::attention_moments)
+  adaattn-video-train[-f32]
+                         AdaAttN video trainer, 256×512 pairs b4 cosine
   pipeline-stream        end-to-end streaming fps: cv2 decode → device →
                          stylize → host → encode (ReCoNet/utilities.py:179-236
                          use case)
@@ -207,6 +214,93 @@ def _bench_reconet_train(bf16):
             sps / (9.5 if bf16 else 4.3))
 
 
+ADAATTN_TRAIN_BASE = {
+    # first on-chip measurements (round 3) — vs_baseline is relative to
+    # these, so >1.0 means faster than when the row was first recorded
+    ("image", True): 14.5,
+    ("image", False): None,
+    ("video", True): 7.0,
+    ("video", False): None,
+}
+
+
+def _bench_adaattn_train(kind, bf16=True, attention_mode="train"):
+    """AdaAttN trainer throughput at the reference's exact shapes:
+    image mode 256² batch 8 softmax (AdaAttN/train_image.py:16-22),
+    video mode 256×512 frame pairs batch 4 cosine (train_video.py:16-23).
+
+    Also reports the compiled step's peak temp HBM to stderr (the
+    materialized-map vs flash-kernel decision is memory AND speed).
+    """
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from vst_tpu.models import adaattn, vgg
+    from vst_tpu.train import config as C
+    from vst_tpu.train import steps
+    from vst_tpu.train.state import create, make_optimizer
+
+    dtype = "bfloat16" if bf16 else "float32"
+    if kind == "image":
+        h, w, batch = 256, 256, 8
+        cfg = C.AdaAttNImageConfig(dtype=dtype, attention_mode=attention_mode)
+        make = steps.make_adaattn_image_step
+    else:
+        h, w, batch = 256, 512, 4
+        cfg = C.AdaAttNVideoConfig(dtype=dtype, attention_mode=attention_mode)
+        make = steps.make_adaattn_video_step
+
+    rng = np.random.default_rng(0)
+    vgg_params = vgg.init_vgg19_adaattn(0)
+    opt = make_optimizer(cfg.lr)
+    state = create(adaattn.init_stylizing_network(1), opt)
+    step = make(cfg, vgg_params, opt)
+
+    def img():
+        return jnp.asarray((rng.random((batch, h, w, 3)) * 255)
+                           .astype(np.float32))
+
+    data = (img(), img()) if kind == "image" else (img(), img(), img())
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_steps(state, data, n_steps):
+        def body(state, i):
+            d = (data[0] + i.astype(jnp.float32),) + data[1:]
+            state, m = step(state, d)
+            return state, m["loss"]
+
+        state, losses = jax.lax.scan(
+            body, state, jnp.arange(n_steps, dtype=jnp.int32))
+        return jnp.sum(losses)
+
+    try:
+        mem = run_steps.lower(state, data, 2).compile().memory_analysis()
+        print(f"# peak temp HBM: {mem.temp_size_in_bytes / 2**30:.2f} GiB "
+              f"(mode={attention_mode}, {dtype})", file=sys.stderr)
+    except Exception as e:  # CPU backend has no memory analysis
+        print(f"# memory_analysis unavailable: {e}", file=sys.stderr)
+
+    def timed(n_steps):
+        float(run_steps(state, data, n_steps))  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(run_steps(state, data, n_steps))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    short, long = 2, 8
+    dt_s = (timed(long) - timed(short)) / (long - short)
+    sps = batch / dt_s
+    base = ADAATTN_TRAIN_BASE.get((kind, bf16)) or sps
+    tag = "" if attention_mode == "train" else f"_{attention_mode}"
+    name = "bf16" if bf16 else "f32"
+    return (f"adaattn_{kind}_train_{name}{tag}_samples_per_sec", sps,
+            "samples/sec", sps / base)
+
+
 def bench_pipeline_stream():
     """End-to-end streaming fps: synthetic 640×360 video decoded by cv2,
     stylized in batches on device, encoded back — the number the reference's
@@ -280,6 +374,14 @@ PATHS = {
         512, 512, 2, "softmax", "adaattn_softmax_512p_fps_per_chip"),
     "reconet-train-f32": lambda: _bench_reconet_train(False),
     "reconet-train-bf16": lambda: _bench_reconet_train(True),
+    "adaattn-image-train": lambda: _bench_adaattn_train("image"),
+    "adaattn-image-train-f32": lambda: _bench_adaattn_train("image", False),
+    "adaattn-image-train-exact": lambda: _bench_adaattn_train(
+        "image", attention_mode="exact"),
+    "adaattn-image-train-pallas": lambda: _bench_adaattn_train(
+        "image", attention_mode="pallas"),
+    "adaattn-video-train": lambda: _bench_adaattn_train("video"),
+    "adaattn-video-train-f32": lambda: _bench_adaattn_train("video", False),
     "pipeline-stream": bench_pipeline_stream,
 }
 

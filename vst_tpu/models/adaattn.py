@@ -158,14 +158,33 @@ def attention_moments(q, k, v, activation: str, mode: str = "auto",
         return _attention_moments_cosine_linear(q, k, v, prec)
     if activation == "softmax":
         n, m = q.shape[1], k.shape[1]
-        if mode == "pallas":
+        if mode == "pallas" and n * m > 1024 * 1024:
             from vst_tpu.kernels import softmax_attention_moments_pallas
 
             return softmax_attention_moments_pallas(q, k, v)
-        if mode in ("exact",) or (mode in ("auto", "train")
-                                  and n * m <= 4096 * 4096):
+        if mode == "pallas":
+            # tiny maps: the exact formulation wins (one MXU matmul pair)
+            # AND ~16 MB pallas-call outputs at this size trip XLA's
+            # output-in-VMEM stack allocation over the scoped limit
             return _attention_moments_softmax_exact(q, k, v, prec)
-        if mode in ("auto", "train") and jax.default_backend() == "tpu":
+        if (mode == "train" and n * m > 1024 * 1024
+                and jax.default_backend() == "tpu"):
+            # TRAINING threshold, measured on-chip (BENCH.md "AdaAttN
+            # training"): at the image trainer's own relu3_1 shape
+            # (256² → n=m=4096, batch 8, bf16) the flash-VJP kernel runs
+            # the full train step at 340 samples/s vs 173 for the
+            # materialized exact path — 1.96× — because exact holds the
+            # (8, 4096, 4096) score+softmax residuals for backward while
+            # the kernel re-streams them.  Below ~1024² tokens the exact
+            # path's single matmul pair wins and the kernel's outputs
+            # start tripping XLA's output-in-VMEM stack allocation.
+            from vst_tpu.kernels import softmax_attention_moments_pallas
+
+            return softmax_attention_moments_pallas(q, k, v)
+        if mode in ("exact", "train") or (mode == "auto"
+                                          and n * m <= 4096 * 4096):
+            return _attention_moments_softmax_exact(q, k, v, prec)
+        if mode == "auto" and jax.default_backend() == "tpu":
             # the kernel carries a flash-style custom VJP, so it is the
             # memory-safe path for BOTH inference and training at large
             # token counts (the chunked path's autodiff residuals would
@@ -183,7 +202,7 @@ def _flatten_hw(x):
 
 
 def adaattn_module(params, name, c_x, s_x, c_1x, s_1x, activation,
-                   mode="auto", mesh=None):
+                   mode="auto", mesh=None, mesh_axis="data"):
     """One AdaAttN attention module (AdaAttN/network.py:174-220), NHWC.
 
     ``name`` e.g. "adaattn.0"; pass ``name=None`` for the conv-free variant
@@ -200,7 +219,7 @@ def adaattn_module(params, name, c_x, s_x, c_1x, s_1x, activation,
     b, h, w, _ = c_x.shape
     m1, m2 = attention_moments(
         _flatten_hw(q), _flatten_hw(k), _flatten_hw(v), activation, mode,
-        mesh=mesh)
+        mesh=mesh, mesh_axis=mesh_axis)
     var = m2 - m1 * m1
     s = jnp.sqrt(jnp.clip(var, min=1e-6))
     mmap = m1.reshape(b, h, w, -1)
@@ -239,7 +258,7 @@ def decoder(params, x5, x4, x3):
 # ------------------------------------------------------------- full model
 
 def stylizing_network(params, fc: dict, fs: dict, activation="softmax",
-                      mode="auto", mesh=None):
+                      mode="auto", mesh=None, mesh_axis="data"):
     """Full AdaAttN stylizer (network.py:223-251).
 
     fc/fs: ordered VGG19 tap dicts from
@@ -256,7 +275,8 @@ def stylizing_network(params, fc: dict, fs: dict, activation="softmax",
         s_1x = feature_down_sample(fsl, idx)
         outs.append(
             adaattn_module(params, f"adaattn.{i}", fcl[idx], fsl[idx],
-                           c_1x, s_1x, activation, mode, mesh=mesh))
+                           c_1x, s_1x, activation, mode, mesh=mesh,
+                           mesh_axis=mesh_axis))
     return decoder(params, outs[2], outs[1], outs[0])
 
 

@@ -123,6 +123,11 @@ class AdaAttNImageConfig:
     crop_size: tuple[int, int] = (256, 256)
     dtype: str = "float32"
     remat: bool = False
+    # attention evaluation strategy for BOTH the stylizer and the no-conv
+    # loss targets: "train" (threshold-dispatched, see
+    # models/adaattn.py::attention_moments), "exact", or "pallas"
+    # (flash-VJP kernel) — benchmarked in BENCH.md "AdaAttN training"
+    attention_mode: str = "train"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,3 +142,4 @@ class AdaAttNVideoConfig:
     frame_size: tuple[int, int] = (256, 512)
     dtype: str = "float32"
     remat: bool = False
+    attention_mode: str = "train"

@@ -305,7 +305,8 @@ def _adaattn_gs_lf(cfg, params, vgg_params, fc, fs, cs, fcs=None):
         c_1x = feature_down_sample(fcl, idx)
         s_1x = feature_down_sample(fsl, idx)
         target = adaattn_m.adaattn_no_conv(
-            fcl[idx], fsl[idx], c_1x, s_1x, cfg.activation, mode="train")
+            fcl[idx], fsl[idx], c_1x, s_1x, cfg.activation,
+            mode=getattr(cfg, "attention_mode", "train"))
         loss_lf = loss_lf + losses.local_feature_loss(
             fcs[f"relu{i + 3}_1"], target)
     loss_lf = loss_lf * cfg.lambda_l
@@ -327,8 +328,9 @@ def make_adaattn_image_step(cfg, vgg_params, optimizer):
             vgg_params, jnp.concatenate([content, style], axis=0))
         fc = {k: v[:n] for k, v in f.items()}
         fs = {k: v[n:] for k, v in f.items()}
-        cs = adaattn_m.stylizing_network(params, fc, fs, cfg.activation,
-                                         mode="train")
+        cs = adaattn_m.stylizing_network(
+            params, fc, fs, cfg.activation,
+            mode=getattr(cfg, "attention_mode", "train"))
         _, loss_gs, loss_lf = _adaattn_gs_lf(cfg, params, vgg_params, fc, fs, cs)
         total = loss_gs + loss_lf
         return total, {"loss_gs": loss_gs, "loss_lf": loss_lf, "loss": total}
@@ -370,8 +372,9 @@ def make_adaattn_video_step(cfg, vgg_params, optimizer):
         # pass over both stylized frames
         fc_cat = {k: jnp.concatenate([fc1[k], fc2[k]], axis=0) for k in fc1}
         fs_cat = {k: jnp.concatenate([v, v], axis=0) for k, v in fs.items()}
-        cs = adaattn_m.stylizing_network(params, fc_cat, fs_cat,
-                                         cfg.activation, mode="train")
+        cs = adaattn_m.stylizing_network(
+            params, fc_cat, fs_cat, cfg.activation,
+            mode=getattr(cfg, "attention_mode", "train"))
         cs1 = cs[:n]
         f_cs = vgg_m.vgg19_adaattn_features(vgg_params, cs)
         fcs1 = {k: v[:n] for k, v in f_cs.items()}
