@@ -48,6 +48,9 @@ def build_parser():
     p.add_argument("--out", help="output video path (.mp4); omit to only "
                                  "report fps")
     p.add_argument("--frames-dir", help="also dump frames here")
+    p.add_argument("--frames-ext", default="jpg", choices=["jpg", "png"],
+                   help="frame dump format (jpg matches the reference's "
+                        "AdaAttN/infer_video.py:80; png is lossless)")
     p.add_argument("--show", action="store_true",
                    help="live cv2 playback window, 'q' quits "
                         "(ReCoNet/inference/infer.py:17-19, "
@@ -138,8 +141,8 @@ def main(argv=None):
         if args.frames_dir:
             from vst_tpu.cli.common import save_image_255
 
-            save_image_255(frame, os.path.join(args.frames_dir,
-                                               f"{count - 1:05d}.jpg"))
+            save_image_255(frame, os.path.join(
+                args.frames_dir, f"{count - 1:05d}.{args.frames_ext}"))
         if show:
             cv2.imshow("stylized", np.asarray(frame)[..., ::-1])  # RGB→BGR
             if cv2.waitKey(1) & 0xFF == ord("q"):
