@@ -92,3 +92,40 @@ class TestFusedAttentionVJP:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(m2p), np.asarray(m2e),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestHeadConvKernel:
+    """kernels/head_conv.py — packed 3×3 VALID conv vs lax.conv."""
+
+    @pytest.mark.parametrize("n,ho,wo,c,co,bh", [
+        (2, 16, 32, 24, 12, 8),     # generic
+        (1, 32, 32, 48, 48, 8),     # head-like packed channels (scaled)
+        (2, 8, 16, 16, 4, 8),       # single row-block
+    ])
+    def test_matches_lax_conv(self, rng, n, ho, wo, c, co, bh):
+        from vst_tpu.kernels.head_conv import conv3x3_valid_pallas
+        from vst_tpu.ops.conv import _DIMNUMS
+
+        x = _rand(rng, n, ho + 2, wo + 2, c)
+        w = _rand(rng, 3, 3, c, co) * 0.1
+        ref = lax.conv_general_dilated(x, w, (1, 1), "VALID",
+                                       dimension_numbers=_DIMNUMS)
+        out = conv3x3_valid_pallas(x, w, bh=bh, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_polyphase_head_routes_identically(self, rng):
+        """conv2d_polyphase must give the same numbers whichever backend
+        path it picks (on CPU it always uses lax.conv; this pins the
+        pallas gate's correctness via the kernel in interpret mode)."""
+        from vst_tpu.kernels.head_conv import conv3x3_valid_pallas
+        from vst_tpu.ops.conv import conv2d_polyphase, _DIMNUMS
+
+        # head-shaped: k=9 f=4 → t=3 packed conv over f²·C channels
+        x = _rand(rng, 1, 40, 40, 6)          # padded input (VALID k9 → 32²)
+        w = _rand(rng, 9, 9, 6, 3) * 0.1
+        ref = conv2d_polyphase(x, w, None, factor=4)
+        direct = lax.conv_general_dilated(x, w, (1, 1), "VALID",
+                                          dimension_numbers=_DIMNUMS)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(direct),
+                                   rtol=1e-3, atol=1e-3)

@@ -334,6 +334,22 @@ class TestPolyphaseConv:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("cin,cout,hw", [(5, 3, (32, 48)),
+                                             (3, 48, (24, 24)),
+                                             (48, 3, (16, 40))])
+    def test_reflect_variant_matches_pad_then_conv(self, rng, cin, cout, hw):
+        """conv2d_polyphase_reflect == reflect-pad(4) + polyphase conv,
+        exactly (the phase-shuffled border construction is a gather of the
+        same values the full-tensor pad would produce)."""
+        from vst_tpu.ops.conv import conv2d_polyphase, conv2d_polyphase_reflect
+
+        x = jnp.asarray(rand(rng, 2, hw[0], hw[1], cin))
+        w = jnp.asarray(rand(rng, 9, 9, cin, cout))
+        b = jnp.asarray(rand(rng, cout))
+        ref = conv2d_polyphase(ops.reflection_pad2d(x, 4), w, b, 4)
+        out = conv2d_polyphase_reflect(x, w, b, 4)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
 
 class TestFusedConvVariants:
     def test_nearest_up2_matches_composition(self, rng):

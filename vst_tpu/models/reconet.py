@@ -28,7 +28,7 @@ from vst_tpu.ops.conv import (
     conv2d,
     conv2d_k3s2_s2d,
     conv2d_nearest_up2,
-    conv2d_polyphase,
+    conv2d_polyphase_reflect,
     conv2d_reflect1_k3s1,
     conv2d_reflect1_k3s2,
 )
@@ -46,12 +46,15 @@ def conv_layer(params, name, x, k, stride):
         return conv2d_reflect1_k3s2(x, w, b)
     if k == 3 and stride == 1 and x.shape[1] >= 3 and x.shape[2] >= 3:
         return conv2d_reflect1_k3s1(x, w, b)
-    x = reflection_pad2d(x, k // 2)
-    out_h, out_w = x.shape[1] - k + 1, x.shape[2] - k + 1
-    if (k == 9 and stride == 1 and out_h % 4 == 0 and out_w % 4 == 0):
+    if (k == 9 and stride == 1 and x.shape[1] % 4 == 0
+            and x.shape[2] % 4 == 0):
         # 9×9 stride-1 layers (stem + ConvTanh head) have tiny channel
-        # counts; the polyphase form packs 16 output pixels per MXU column.
-        return conv2d_polyphase(x, w, b, factor=4)
+        # counts; the polyphase form packs 16 output pixels per MXU column,
+        # and the reflect variant builds the packed pad border by phase
+        # shuffling instead of a full-tensor pad copy (the pad alone cost
+        # more than the packed conv — BENCH.md roofline).
+        return conv2d_polyphase_reflect(x, w, b, factor=4)
+    x = reflection_pad2d(x, k // 2)
     return conv2d(x, w, b, stride=stride)
 
 

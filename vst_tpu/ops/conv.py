@@ -90,6 +90,27 @@ def conv_transpose2d(
     return out.astype(x.dtype)
 
 
+def _polyphase_weights(w: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Scatter a k×k HWIO kernel into the (t×t, f²·Cin → f²·Cout) packed
+    form: W2[di,dj,(p,q,cin),(a,b,cout)] = w[f·di+p-a, f·dj+q-b]
+    (zero outside [0, k))."""
+    k, _, cin, cout = w.shape
+    t = (k + f - 2) // f + 1
+    pad = f - 1
+    w_pad = jnp.pad(w.astype(jnp.float32),
+                    ((pad, pad), (pad, pad), (0, 0), (0, 0)))
+    di = np.arange(t)[:, None, None]
+    p = np.arange(f)[None, :, None]
+    a = np.arange(f)[None, None, :]
+    idx = f * di + p - a + pad                          # (t, f, f)
+    g = jnp.take(w_pad, jnp.asarray(idx.reshape(-1)), axis=0)
+    g = g.reshape(t, f, f, k + 2 * pad, cin, cout)
+    g = jnp.take(g, jnp.asarray(idx.reshape(-1)), axis=3)
+    g = g.reshape(t, f, f, t, f, f, cin, cout)          # [di,p,a,dj,q,b,c,o]
+    return g.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(
+        t, t, f * f * cin, f * f * cout).astype(w.dtype)
+
+
 def conv2d_polyphase(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -118,26 +139,16 @@ def conv2d_polyphase(
     assert oh % f == 0 and ow % f == 0 and f * (t - 1) == k - 1, (
         "conv2d_polyphase preconditions violated")
 
-    # Scatter w into W2[di, dj, (p,q,cin), (a,b,cout)]:
-    #   W2[...] = w[f·di+p-a, f·dj+q-b]  (zero outside [0, k))
-    pad = f - 1
-    w_pad = jnp.pad(w.astype(jnp.float32),
-                    ((pad, pad), (pad, pad), (0, 0), (0, 0)))
-    di = np.arange(t)[:, None, None]
-    p = np.arange(f)[None, :, None]
-    a = np.arange(f)[None, None, :]
-    idx = f * di + p - a + pad                          # (t, f, f)
-    g = jnp.take(w_pad, jnp.asarray(idx.reshape(-1)), axis=0)
-    g = g.reshape(t, f, f, k + 2 * pad, cin, cout)
-    g = jnp.take(g, jnp.asarray(idx.reshape(-1)), axis=3)
-    g = g.reshape(t, f, f, t, f, f, cin, cout)          # [di,p,a,dj,q,b,c,o]
-    w2 = g.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(
-        t, t, f * f * cin, f * f * cout).astype(w.dtype)
+    w2 = _polyphase_weights(w, f)
 
     # space-to-depth input
     xs = x.reshape(n, hp // f, f, wp // f, f, cin)
     xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // f, wp // f,
                                                 f * f * cin)
+    # NOTE: a Pallas kernel for this packed conv (kernels/head_conv.py) was
+    # measured 2.2× SLOWER than XLA here (0.61 vs 0.28 ms/frame on the 512²
+    # head form) — the conv itself is NOT the head's bottleneck, the
+    # pad/pack/unpack layout ops around it are (BENCH.md roofline).
     out = lax.conv_general_dilated(
         xs, w2, (1, 1), "VALID", dimension_numbers=_DIMNUMS,
         preferred_element_type=conv_accum_dtype(x.dtype),
@@ -146,6 +157,69 @@ def conv2d_polyphase(
     # depth-to-space output
     out = out.reshape(n, oh // f, ow // f, f, f, cout)
     out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, oh, ow, cout)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+def conv2d_polyphase_reflect(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    factor: int = 4,
+) -> jnp.ndarray:
+    """``reflect-pad(k//2) then conv2d_polyphase`` WITHOUT the pad copy.
+
+    The head profile (BENCH.md roofline) showed the full-tensor reflect pad
+    costs more than the packed conv itself (0.30 vs 0.28 ms/frame at 512²).
+    When pad == factor (k=9, f=4), the padded-then-packed tensor is the
+    packed unpadded tensor plus a ONE-packed-pixel border whose phase
+    channels are a gather of existing packed rows/cols:
+    original row −1−t reflects to row 1+t, so border row-phase q holds
+    original row f−q → packed (row (f−q)//f, phase (f−q)%f); symmetrically
+    at the bottom/right.  Borders are ~0.8 MB of slicing instead of a
+    25 MB repad of the whole activation.
+    """
+    f = factor
+    k, _, cin, cout = w.shape
+    assert k == 2 * f + 1, (k, f)  # pad = k//2 must equal f
+    n, h, wdt, _ = x.shape
+    assert h % f == 0 and wdt % f == 0
+    H, W = h // f, wdt // f
+
+    p6 = x.reshape(n, H, f, W, f, cin).transpose(0, 1, 3, 2, 4, 5)
+    # (n, H, W, row_phase, col_phase, c)
+
+    def row(i, p):
+        return p6[:, i, :, p]                     # (n, W, f, c)
+
+    top = jnp.stack([row(1, 0)] + [row(0, f - q) for q in range(1, f)],
+                    axis=2)[:, None]              # (n, 1, W, f, f, c)
+    bot_src = [((f * H - 2 - q) // f, (f * H - 2 - q) % f)
+               for q in range(f)]
+    bottom = jnp.stack([row(i, p) for i, p in bot_src], axis=2)[:, None]
+    p6 = jnp.concatenate([top, p6, bottom], axis=1)   # (n, H+2, W, f, f, c)
+
+    def col(j, p):
+        return p6[:, :, j, :, p]                  # (n, H+2, f, c)
+
+    left = jnp.stack([col(1, 0)] + [col(0, f - q) for q in range(1, f)],
+                     axis=3)[:, :, None]          # (n, H+2, 1, f, f, c)
+    right_src = [((f * W - 2 - q) // f, (f * W - 2 - q) % f)
+                 for q in range(f)]
+    right = jnp.stack([col(j, p) for j, p in right_src],
+                      axis=3)[:, :, None]
+    p6 = jnp.concatenate([left, p6, right], axis=2)   # (n, H+2, W+2, f, f, c)
+
+    xs = p6.reshape(n, H + 2, W + 2, f * f * cin)
+    w2 = _polyphase_weights(w, f)
+    out = lax.conv_general_dilated(
+        xs, w2, (1, 1), "VALID", dimension_numbers=_DIMNUMS,
+        preferred_element_type=conv_accum_dtype(x.dtype),
+        precision=matmul_precision(x.dtype),
+    )
+    out = out.reshape(n, H, W, f, f, cout)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, wdt, cout)
     if b is not None:
         out = out + b.astype(out.dtype)
     return out.astype(x.dtype)
