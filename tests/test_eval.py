@@ -191,6 +191,27 @@ class TestLPIPS:
         ref = self._torch_lpips(params_t, nchw(a), nchw(b)).numpy()
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
+    def test_v00_skips_scaling_layer(self, rng):
+        """version="0.0" consumes the [-1,1] inputs raw (lpips/lpips.py:135)."""
+        from vst_tpu.eval.lpips import lpips_distance
+
+        params = random_lpips_params(0)
+        a = (rng.random((1, 32, 32, 3)) * 2 - 1).astype(np.float32)
+        b = (rng.random((1, 32, 32, 3)) * 2 - 1).astype(np.float32)
+        v01 = np.asarray(lpips_distance(params, jnp.asarray(a),
+                                        jnp.asarray(b)))
+        v00 = np.asarray(lpips_distance(params, jnp.asarray(a),
+                                        jnp.asarray(b), version="0.0"))
+        assert abs(float(v01[0]) - float(v00[0])) > 1e-7
+        # v0.0 must equal v0.1 applied to pre-scaled inputs
+        shift = np.array([-0.030, -0.088, -0.188], np.float32)
+        scale = np.array([0.458, 0.448, 0.450], np.float32)
+        pre_a = a * scale + shift
+        pre_b = b * scale + shift
+        ref = np.asarray(lpips_distance(params, jnp.asarray(pre_a),
+                                        jnp.asarray(pre_b)))
+        np.testing.assert_allclose(v00, ref, rtol=1e-4, atol=1e-6)
+
     def test_im2tensor(self):
         img = np.full((4, 4, 3), 255.0, np.float32)
         out = image_to_lpips_input(img)

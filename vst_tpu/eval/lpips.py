@@ -4,8 +4,10 @@ Parity target: the vendored package AdaAttN/lpips/lpips.py:24-161 with all
 three trunks, as used by ``eval.py`` (lpips_loss, AdaAttN/eval.py:19-35,
 net="vgg" default):
 
-- inputs scaled to [-1, 1] (``im2tensor``), then the ScalingLayer's
-  shift/scale constants (lpips/lpips.py:164-171);
+- inputs scaled to [-1, 1] (``im2tensor``), then (v0.1) the
+  ScalingLayer's shift/scale constants (lpips/lpips.py:164-171) —
+  ``version="0.0"`` skips the scaling layer exactly as the vendored
+  package does (lpips/lpips.py:135);
 - trunk slices (lpips/pretrained_networks.py):
   vgg16 relu1_2/2_2/3_3/4_3/5_3; alexnet after every ReLU (5 taps);
   squeezenet1_1 after slice boundaries 2/5/8/10/11/12/13 (7 taps);
@@ -144,10 +146,10 @@ def _normalize(feat, eps=1e-10):
 
 @functools.partial(jax.jit,
                    static_argnames=("net", "use_lpips", "spatial",
-                                    "ret_per_layer"))
+                                    "ret_per_layer", "version"))
 def lpips_distance(params, img0, img1, net: str = "vgg",
                    use_lpips: bool = True, spatial: bool = False,
-                   ret_per_layer: bool = False):
+                   ret_per_layer: bool = False, version: str = "0.1"):
     """LPIPS distance (lpips/lpips.py:129-161).  img0/img1: (N, H, W, 3)
     RGB in [-1, 1].
 
@@ -159,10 +161,16 @@ def lpips_distance(params, img0, img1, net: str = "vgg",
     ``ret_per_layer`` additionally returns the per-layer values."""
     from vst_tpu.ops.resize import resize_bilinear
 
-    shift = jnp.asarray(_SHIFT, jnp.float32)
-    scale = jnp.asarray(_SCALE, jnp.float32)
-    x0 = (img0.astype(jnp.float32) - shift) / scale
-    x1 = (img1.astype(jnp.float32) - shift) / scale
+    if version == "0.1":
+        # v0.1 applies the ScalingLayer; v0.0 consumes the [-1, 1] inputs
+        # raw (lpips/lpips.py:135 picks by self.version)
+        shift = jnp.asarray(_SHIFT, jnp.float32)
+        scale = jnp.asarray(_SCALE, jnp.float32)
+        x0 = (img0.astype(jnp.float32) - shift) / scale
+        x1 = (img1.astype(jnp.float32) - shift) / scale
+    else:
+        x0 = img0.astype(jnp.float32)
+        x1 = img1.astype(jnp.float32)
     f0 = _TRUNKS[net](params, x0)
     f1 = _TRUNKS[net](params, x1)
     res_layers = []
