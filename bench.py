@@ -217,9 +217,9 @@ def _bench_reconet_train(bf16):
 ADAATTN_TRAIN_BASE = {
     # first on-chip measurements (round 3) — vs_baseline is relative to
     # these, so >1.0 means faster than when the row was first recorded
-    ("image", True): 14.5,
+    ("image", True): 340.0,   # bf16, flash-VJP kernel path (BENCH.md)
     ("image", False): None,
-    ("video", True): 7.0,
+    ("video", True): 66.3,    # bf16, linear-form cosine
     ("video", False): None,
 }
 
@@ -312,7 +312,8 @@ def bench_pipeline_stream():
     import jax
     import jax.numpy as jnp
 
-    from vst_tpu.infer.video import StreamingStylizer, frames_from_video
+    from vst_tpu.infer.video import (StreamingStylizer, StreamingVideoWriter,
+                                     frames_from_source)
     from vst_tpu.models import reconet
 
     w, h, n_frames = 640, 360, 96
@@ -340,25 +341,62 @@ def bench_pipeline_stream():
     # uint8 on the wire both ways (1 byte/channel vs 4), and model_fn
     # returns device arrays: StreamingStylizer keeps pipeline_depth batches
     # in flight, overlapping decode/transfer/compute/fetch and amortizing
-    # the tunnel's fixed per-call dispatch latency.  Encode INTERLEAVES
-    # with the drain (each cv2 write happens while later batches are in
-    # flight) instead of buffering the whole clip.
-    vw_out = cv2.VideoWriter(os.path.join(tmp, "out.avi"),
-                             cv2.VideoWriter_fourcc(*"MJPG"), 30, (w, h))
+    # the tunnel's fixed per-call dispatch latency.  Decode uses the native
+    # thread-pool MJPG reader when built (native/vstvideo.cc); encode runs
+    # on the StreamingVideoWriter thread, overlapping the drain.
     n_out = 0
-    for frame in StreamingStylizer(
-            model_fn, frames_from_video(src, (w, h), dtype="uint8"), 1, 8,
-            pipeline_depth=6, output="bgr_uint8"):
-        vw_out.write(frame)
-        n_out += 1
-    vw_out.release()
+    with StreamingVideoWriter(os.path.join(tmp, "out.avi"), fps=30) as vw_out:
+        for frame in StreamingStylizer(
+                model_fn, frames_from_source(src, (w, h), dtype="uint8"), 1,
+                8, pipeline_depth=6, output="rgb_uint8"):
+            vw_out.put(frame)
+            n_out += 1
     dt_s = time.perf_counter() - t0
     assert n_out == n_frames, (n_out, n_frames)
     fps = n_frames / dt_s
     return "stream_e2e_640x360_fps", fps, "frames/sec", fps / 30.0
 
 
+def bench_tunnel_link():
+    """Raw host↔device link throughput and the implied streaming fps
+    ceiling at 640×360 uint8 (1.38 MB per frame round trip).
+
+    This is the byte-budget proof for the streaming table: if the e2e
+    number sits at this ceiling, the pipeline is link-bound, not
+    compute/decode-bound."""
+    import sys
+
+    import jax
+
+    frame_bytes = 360 * 640 * 3
+    n = 48
+    x = np.zeros((n, 360, 640, 3), np.uint8)  # ~33 MB
+
+    dev = jax.device_put(x)
+    np.asarray(dev)  # warm both directions
+
+    h2d = d2h = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dev = jax.device_put(x)
+        dev.block_until_ready()
+        h2d = min(h2d, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(dev)
+        d2h = min(d2h, time.perf_counter() - t0)
+
+    up = n * frame_bytes / h2d / 2**20
+    down = n * frame_bytes / d2h / 2**20
+    # a streamed frame crosses the link once in each direction; directions
+    # may overlap, so the ceiling is set by the slower one
+    fps_ceiling = min(up, down) * 2**20 / frame_bytes
+    print(f"# link: {up:.0f} MB/s up, {down:.0f} MB/s down", file=sys.stderr)
+    return ("stream_link_640x360_fps_ceiling", fps_ceiling, "frames/sec",
+            fps_ceiling / 30.0)
+
+
 PATHS = {
+    "tunnel-link": bench_tunnel_link,
     "reconet-512": bench_reconet_512,
     "sd1-512": lambda: bench_reconet_512("sd1"),
     "sd2-512": lambda: bench_reconet_512("sd2"),

@@ -168,7 +168,8 @@ def attention_moments(q, k, v, activation: str, mode: str = "auto",
             # output-in-VMEM stack allocation over the scoped limit
             return _attention_moments_softmax_exact(q, k, v, prec)
         if (mode == "train" and n * m > 1024 * 1024
-                and jax.default_backend() == "tpu"):
+                and jax.default_backend() == "tpu"
+                and q.dtype == jnp.bfloat16):
             # TRAINING threshold, measured on-chip (BENCH.md "AdaAttN
             # training"): at the image trainer's own relu3_1 shape
             # (256² → n=m=4096, batch 8, bf16) the flash-VJP kernel runs
@@ -177,7 +178,10 @@ def attention_moments(q, k, v, activation: str, mode: str = "auto",
             # (8, 4096, 4096) score+softmax residuals for backward while
             # the kernel re-streams them.  Below ~1024² tokens the exact
             # path's single matmul pair wins and the kernel's outputs
-            # start tripping XLA's output-in-VMEM stack allocation.
+            # start tripping XLA's output-in-VMEM stack allocation; the
+            # same stack heuristic rejects the f32 kernel outright at the
+            # trainer shape (measured compile OOM), so f32 training — the
+            # parity-precision mode — keeps the exact path.
             from vst_tpu.kernels import softmax_attention_moments_pallas
 
             return softmax_attention_moments_pallas(q, k, v)
