@@ -398,3 +398,31 @@ class TestExperimentsImageCSV:
         save_params(vgg.init_vgg19_adaattn(0), vgg_w)
         rows = self._run(tmp_path, rng, ("--vgg-weights", vgg_w))
         assert "style_gram" in rows[0] and "content_gram" in rows[0]
+
+
+class TestExperimentsVideoCLI:
+    def test_warping_error_runner(self, tmp_path, rng, capsys):
+        """experiments video: chunked stylize + batched warping-error terms
+        (AdaAttN/exps_video.py semantics) over a synthetic clip."""
+        cv2 = pytest.importorskip("cv2")
+        from vst_tpu.cli import experiments as cli_exp
+        from vst_tpu.models import reconet
+        from vst_tpu.train.checkpoint import save_params
+
+        video = str(tmp_path / "in.avi")
+        w, h, n = 64, 48, 7
+        vw = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                             (w, h))
+        base = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        for i in range(n):
+            vw.write(np.roll(base, 2 * i, axis=1))
+        vw.release()
+        weights = str(tmp_path / "w.npz")
+        save_params(reconet.init_reconet(0), weights)
+        cli_exp.main(["video", "--model", "reconet", "--weights", weights,
+                      "--video", video, "--size", "64", "48",
+                      "--platform", "cpu"])
+        out = capsys.readouterr().out
+        assert "Warping Error:" in out and "Flow MSE:" in out
+        val = float(out.split("Warping Error:")[1].split()[0])
+        assert np.isfinite(val) and val >= 0
