@@ -251,6 +251,35 @@ class TestReCoNetTrajectories:
         assert_trajectory(jl, tl, jp, tp, g0, params0, t32_params=tp32)
 
 
+    def test_distill_sd2_with_sd_term(self, rng):
+        """include_sd_in_total=True: the teacher-MSE gradient path must
+        track torch too (the reference computes-but-excludes the term,
+        train_Flow_SD1.py:162; the opt-in is our documented extension)."""
+        cfg = dataclasses.replace(C.DISTILL_SD2, img_size=(32, 40),
+                                  include_sd_in_total=True)
+        n_steps, lr = 6, cfg.lr
+        vgg_params = vgg.init_vgg16_reconet(KEY)
+        grams = steps.reconet_style_grams(vgg_params, images(rng, 1, 32, 40))
+        teacher = reconet.init_reconet_sd1(KEY)
+        params0 = reconet.init_reconet_sd2(KEY)
+        batches = [(images(rng, 2, 32, 40), images(rng, 2, 32, 40))
+                   + flow_mask(rng, 2, 32, 40) for _ in range(n_steps)]
+        opt = make_optimizer(lr)
+        step = steps.make_reconet_distill_step(cfg, vgg_params, grams,
+                                               teacher, opt)
+        jl, jp = run_jax_trajectory(step, create(params0, opt), batches)
+        frozen = {"vgg": to_torch(vgg_params),
+                  "teacher": to_torch(teacher),
+                  "grams": [torch.from_numpy(np.asarray(g)).double()
+                            for g in grams]}
+        loss_for = lambda frozen: (
+            lambda p, b: T.reconet_distill_loss(cfg, p, frozen, b))
+        tbatches = [torch_batch(b) for b in batches]
+        tl, tp, g0, tp32 = run_torch_both(loss_for, frozen,
+                                          to_torch(params0), tbatches, lr)
+        assert_trajectory(jl, tl, jp, tp, g0, params0, t32_params=tp32)
+
+
 class TestRTNSTVTrajectory:
     def test_rtnstv(self, rng):
         cfg = dataclasses.replace(C.RTNSTVConfig(), img_size=(32, 40))
