@@ -103,28 +103,8 @@ def reconet_flow_loss(cfg, fwd, params, frozen, batch):
     img1, img2, flow, mask = batch
     _, fmap1, s1 = fwd(params, img1)[-3:]
     _, fmap2, s2 = fwd(params, img2)[-3:]
-    idx = (cfg.input_frame_num - 1) * 3
-    s1n, s2n = t_vgg_normalize(s1), t_vgg_normalize(s2)
-    i1n = t_vgg_normalize(img1[:, idx:idx + 3])
-    i2n = t_vgg_normalize(img2[:, idx:idx + 3])
-    taps = lambda x: list(t_vgg_features(frozen["vgg"], x, VGG16_CFG,
-                                         VGG16_TAPS_RECONET).values())
-    sf1, sf2, cf1, cf2 = taps(s1n), taps(s2n), taps(i1n), taps(i2n)
-
-    total = 0.0
-    if getattr(cfg, "use_ftl", True):
-        total = t_reconet_ftl(fmap1, fmap2, flow, mask) * cfg.lambda_f
-    total = total + t_reconet_otl(i1n, i2n, s1n, s2n, flow, mask) * cfg.lambda_o
-    content = (F.mse_loss(sf1[2], cf1[2]) + F.mse_loss(sf2[2], cf2[2])) * cfg.alpha
-    style = 0.0
-    for f1, f2, gs in zip(sf1, sf2, frozen["grams"]):
-        style = style + F.mse_loss(t_gram_chw(f1), gs.expand(f1.shape[0], -1, -1))
-        style = style + F.mse_loss(t_gram_chw(f2), gs.expand(f2.shape[0], -1, -1))
-    style = style * cfg.beta
-    # TV on the vgg-NORMALIZED styled images (train_candy.py:82 reassigns
-    # styled_img before the reg block at :140-145) — reproduced deliberately.
-    reg = (t_tv_sum(s1n) + t_tv_sum(s2n)) * cfg.gamma
-    return total + content + style + reg
+    return reconet_flow_like_outputs(cfg, frozen, (fmap1, s1), (fmap2, s2),
+                                     img1, img2, flow, mask)
 
 
 def reconet_coco_loss(cfg, params, frozen, batch):
