@@ -173,8 +173,8 @@ def attention_moments(q, k, v, activation: str, mode: str = "auto",
             # TRAINING threshold, measured on-chip (BENCH.md "AdaAttN
             # training"): at the image trainer's own relu3_1 shape
             # (256² → n=m=4096, batch 8, bf16) the flash-VJP kernel runs
-            # the full train step at 340 samples/s vs 173 for the
-            # materialized exact path — 1.96× — because exact holds the
+            # the full train step at 196 samples/s vs 163 for the
+            # materialized exact path — 1.21× — because exact holds the
             # (8, 4096, 4096) score+softmax residuals for backward while
             # the kernel re-streams them.  Below ~1024² tokens the exact
             # path's single matmul pair wins and the kernel's outputs
