@@ -219,7 +219,7 @@ ADAATTN_TRAIN_BASE = {
     # these, so >1.0 means faster than when the row was first recorded
     ("image", True): 196.4,   # bf16, flash-VJP kernel path (BENCH.md)
     ("image", False): None,
-    ("video", True): 66.3,    # bf16, linear-form cosine
+    ("video", True): 48.9,    # bf16, linear-form cosine
     ("video", False): None,
 }
 
