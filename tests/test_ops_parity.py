@@ -364,6 +364,19 @@ class TestFusedConvVariants:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_nearest_up2_2tap_matches_composition(self, rng):
+        from vst_tpu.ops.conv import conv2d_nearest_up2_2tap
+
+        for (h, w_, cin, cout) in [(12, 15, 6, 4), (9, 13, 3, 5)]:
+            x = jnp.asarray(rand(rng, 2, h, w_, cin))
+            w = jnp.asarray(rand(rng, 3, 3, cin, cout))
+            b = jnp.asarray(rand(rng, cout))
+            ref = ops.conv2d(
+                ops.reflection_pad2d(ops.upsample_nearest(x, 2), 1), w, b)
+            out = conv2d_nearest_up2_2tap(x, w, b)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)
+
     def test_k3s2_s2d_matches_strided_conv(self, rng):
         from vst_tpu.ops.conv import conv2d_k3s2_s2d
 

@@ -269,6 +269,59 @@ def conv2d_nearest_up2(
     return out.astype(x.dtype)
 
 
+def conv2d_nearest_up2_2tap(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """[nearest ×2 upsample → reflection-pad(1) → 3×3 conv], 2×2-collapsed.
+
+    Same math as :func:`conv2d_nearest_up2` (ReCoNet/network.py:101-120),
+    but exploits that each output phase's 3 upsampled taps collapse onto
+    only TWO distinct low-res rows (cols): the per-phase kernels are 2×2
+    with phase-summed weights — 4/9 the taps, i.e. 0.44× the mathematical
+    FLOPs of the direct upsample-then-conv form (conv2d_nearest_up2's
+    phase-summed 3×3 carries the other 5 taps as structural zeros).  One
+    2×2 VALID conv over the edge-padded input computes all four phases
+    (4·cout output lanes at low resolution); each phase then selects its
+    shifted h×w window before the interleave.
+    """
+    k, _, cin, cout = w.shape
+    assert k == 3, "fused upsample-conv is specialized for 3x3 kernels"
+    n, h, ww_, _ = x.shape
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+
+    # S[a, t, u] = 1 iff upsampled tap u of output phase a collapses onto
+    # window-local low-res row t of the phase's 2-row window (which starts
+    # at padded row i+a):  t = (a + u - 1) // 2 - a + 1.
+    S = np.zeros((2, 2, 3), np.float32)
+    for a in range(2):
+        for u in range(3):
+            S[a, (a + u - 1) // 2 - a + 1, u] = 1.0
+    Sj = jnp.asarray(S)
+    w2 = jnp.einsum("atu,bsv,uvco->tsabco", Sj, Sj, w.astype(jnp.float32))
+    w2 = w2.transpose(0, 1, 4, 2, 3, 5).reshape(2, 2, cin, 4 * cout)
+    w2 = w2.astype(w.dtype)
+
+    y = lax.conv_general_dilated(
+        x_pad, w2, (1, 1), "VALID", dimension_numbers=_DIMNUMS,
+        preferred_element_type=conv_accum_dtype(x.dtype),
+        precision=matmul_precision(x.dtype),
+    )
+    y = y.reshape(n, h + 1, ww_ + 1, 2, 2, cout)
+    p00 = y[:, :h, :ww_, 0, 0]
+    p01 = y[:, :h, 1:, 0, 1]
+    p10 = y[:, 1:, :ww_, 1, 0]
+    p11 = y[:, 1:, 1:, 1, 1]
+    out = jnp.stack(
+        [jnp.stack([p00, p01], axis=3), jnp.stack([p10, p11], axis=3)],
+        axis=3)                                   # (n, h, w, a, b, cout)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * ww_, cout)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
 def conv2d_k3s2_s2d(
     x: jnp.ndarray,
     w: jnp.ndarray,
