@@ -264,11 +264,24 @@ def _bench_adaattn_train(kind, bf16=True, attention_mode="train"):
 
     data = (img(), img()) if kind == "image" else (img(), img(), img())
 
-    @functools.partial(jax.jit, static_argnums=(2,))
+    # the scan wrapper inlines the step's jaxpr, so the f32 scoped-VMEM
+    # carve-out on the inner jit (train.steps._train_jit) must be repeated
+    # on THIS compile — XLA:TPU's fused-attention custom call otherwise
+    # stack-OOMs at the f32 relu4_1 shape (see _train_jit's docstring)
+    opts = None
+    if dtype == "float32" and jax.default_backend() == "tpu":
+        opts = {"xla_tpu_scoped_vmem_limit_kib": "24576"}
+
+    # call the step's raw function inside the scan: compiler_options may
+    # only appear on a TOP-LEVEL jit, so the inner jitted step (which
+    # carries the same carve-out for direct CLI use) cannot be nested here
+    step_fn = getattr(step, "__wrapped__", step)
+
+    @functools.partial(jax.jit, static_argnums=(2,), compiler_options=opts)
     def run_steps(state, data, n_steps):
         def body(state, i):
             d = (data[0] + i.astype(jnp.float32),) + data[1:]
-            state, m = step(state, d)
+            state, m = step_fn(state, d)
             return state, m["loss"]
 
         state, losses = jax.lax.scan(

@@ -30,6 +30,30 @@ RECONET_FORWARD = {
 }
 
 
+def _train_jit(cfg):
+    """``jax.jit(donate_argnums=(0,))`` with a TPU float32 carve-out.
+
+    XLA:TPU fuses the exact softmax-attention chain into its own flash
+    custom call; at the AdaAttN image trainer's relu4_1 shape the f32
+    variant's stack buffer (17.3 MB for an (8, 1024, 512) f32 output)
+    exceeds the default 16 MB scoped-VMEM limit and the compile fails
+    with a kernel-vmem-stack OOM (bf16 fits).  Parity-precision (f32)
+    training on TPU therefore raises the scoped limit per-compile —
+    measured harmless for every other step (the limit only caps
+    compiler-stack allocations, not HBM).
+    """
+    opts = None
+    if getattr(cfg, "dtype", "float32") == "float32":
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            opts = {"xla_tpu_scoped_vmem_limit_kib": "24576"}
+    return functools.partial(jax.jit, donate_argnums=(0,),
+                             compiler_options=opts)
+
+
 def _cast_tree(tree, dtype_name: str):
     """Mixed precision: cast params/batch to cfg.dtype inside the loss
     (gradients flow through the cast back to the f32 master params)."""
@@ -138,7 +162,7 @@ def make_reconet_flow_step(cfg, vgg_params, style_grams, optimizer):
                                (fmap1, styled1), (fmap2, styled2),
                                img1, img2, flow, mask)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @_train_jit(cfg)
     def step(state: TrainState, batch):
         img1, img2, flow, mask = batch
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -170,7 +194,7 @@ def make_reconet_coco_step(cfg, vgg_params, style_grams, optimizer):
         total = content + style
         return total, {"CL": content, "SL": style, "loss": total}
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @_train_jit(cfg)
     def step(state: TrainState, img):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, img)
@@ -229,7 +253,7 @@ def make_reconet_distill_step(cfg, vgg_params, style_grams, teacher_params,
         metrics["SDL"] = sd
         return total, metrics
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @_train_jit(cfg)
     def step(state: TrainState, batch):
         img1, img2, flow, mask = batch
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -273,7 +297,7 @@ def make_rtnstv_step(cfg, vgg_params, style_grams, optimizer):
         return total, {"CL": content, "SL": style, "RL": reg, "TL": tl,
                        "loss": total}
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @_train_jit(cfg)
     def step(state: TrainState, batch):
         img1, img2, flow, mask = batch
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -335,7 +359,7 @@ def make_adaattn_image_step(cfg, vgg_params, optimizer):
         total = loss_gs + loss_lf
         return total, {"loss_gs": loss_gs, "loss_lf": loss_lf, "loss": total}
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @_train_jit(cfg)
     def step(state: TrainState, batch):
         content, style = batch
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -392,7 +416,7 @@ def make_adaattn_video_step(cfg, vgg_params, optimizer):
         return total, {"loss_gs": loss_gs, "loss_lf": loss_lf,
                        "loss_is": loss_is, "loss": total}
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @_train_jit(cfg)
     def step(state: TrainState, batch):
         content1, content2, style = batch
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
