@@ -179,10 +179,18 @@ def conv2d_polyphase_reflect(
     original row f−q → packed (row (f−q)//f, phase (f−q)%f); symmetrically
     at the bottom/right.  Borders are ~0.8 MB of slicing instead of a
     25 MB repad of the whole activation.
+
+    The input is materialized through an ``optimization_barrier`` before the
+    phase slicing: when x is a produced activation (deconv2's IN+relu chain
+    feeding the ReCoNet head), the many border/phase consumers otherwise
+    make XLA re-fuse that producer chain into each consumer — measured
+    0.93 → 0.72 ms/frame on the head stage at 512², a bit-exact change
+    (BENCH.md round 3).
     """
     f = factor
     k, _, cin, cout = w.shape
     assert k == 2 * f + 1, (k, f)  # pad = k//2 must equal f
+    x = lax.optimization_barrier(x)
     n, h, wdt, _ = x.shape
     assert h % f == 0 and wdt % f == 0
     H, W = h // f, wdt // f
