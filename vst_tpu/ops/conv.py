@@ -180,17 +180,21 @@ def conv2d_polyphase_reflect(
     at the bottom/right.  Borders are ~0.8 MB of slicing instead of a
     25 MB repad of the whole activation.
 
-    The input is materialized through an ``optimization_barrier`` before the
-    phase slicing: when x is a produced activation (deconv2's IN+relu chain
-    feeding the ReCoNet head), the many border/phase consumers otherwise
-    make XLA re-fuse that producer chain into each consumer — measured
-    0.93 → 0.72 ms/frame on the head stage at 512², a bit-exact change
+    For wide inputs (f²·cin ≥ 768, i.e. ReCoNet's 48-ch head) the input is
+    materialized through an ``optimization_barrier`` before the phase
+    slicing: when x is a produced activation (deconv2's IN+relu chain
+    feeding the head), the many border/phase consumers otherwise make XLA
+    re-fuse that producer chain into each consumer — measured 0.93 → 0.72
+    ms/frame on the head stage at 512², bit-exact (headline 259 → 271.5
+    fps).  On the narrow distilled-student heads the materialization costs
+    more than the re-fusion (SD2: 553 → 528 fps), hence the width gate
     (BENCH.md round 3).
     """
     f = factor
     k, _, cin, cout = w.shape
     assert k == 2 * f + 1, (k, f)  # pad = k//2 must equal f
-    x = lax.optimization_barrier(x)
+    if f * f * cin >= 768:
+        x = lax.optimization_barrier(x)
     n, h, wdt, _ = x.shape
     assert h % f == 0 and wdt % f == 0
     H, W = h // f, wdt // f
