@@ -7,6 +7,7 @@ Default path (what the driver runs): ReCoNet stylized frames/sec/chip at
 
 Paths:
   reconet-512            ReCoNet per-frame inference 512², batch 8 (headline)
+  reconet-512-b1         same with ONE frame in flight (serving latency, ms)
   adaattn-video-512x256  AdaAttN cosine video loop (encode+stylize/frame)
   adaattn-video-512      AdaAttN cosine at 512², batch 2
   adaattn-image-pallas   AdaAttN softmax (Pallas flash-moments), 512×256
@@ -73,7 +74,7 @@ def _chain_fps(run_frames, batch, short=8, long=40, reps=3):
     return (long - short) * batch / max(t_long - t_short, 1e-9)
 
 
-def bench_reconet_512(family="reconet"):
+def bench_reconet_512(family="reconet", batch=8):
     import jax
     import jax.numpy as jnp
 
@@ -84,7 +85,7 @@ def bench_reconet_512(family="reconet"):
     fwd = {"reconet": reconet.reconet, "sd1": reconet.reconet_sd1,
            "sd2": reconet.reconet_sd2}[family]
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), init(0))
-    batch, h, w = 8, 512, 512
+    h, w = 512, 512
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def run(params, x, n_steps):
@@ -101,6 +102,10 @@ def bench_reconet_512(family="reconet"):
     x = jnp.asarray((rng.random((batch, h, w, 3)) * 255).astype(np.float32),
                     dtype=jnp.bfloat16)
     fps = _chain_fps(lambda n: run(params, x, n), batch)
+    if batch == 1:
+        # serving-latency view: one frame in flight, ms from input to output
+        return (f"{family}_512p_b1_latency_ms", 1e3 / fps, "ms/frame",
+                (1e3 / fps) / (1e3 / 30.0))
     return f"{family}_512p_stylized_fps_per_chip", fps, "frames/sec", fps / 30.0
 
 
@@ -414,6 +419,7 @@ def bench_tunnel_link():
 PATHS = {
     "tunnel-link": bench_tunnel_link,
     "reconet-512": bench_reconet_512,
+    "reconet-512-b1": lambda: bench_reconet_512(batch=1),
     "sd1-512": lambda: bench_reconet_512("sd1"),
     "sd2-512": lambda: bench_reconet_512("sd2"),
     "adaattn-video-512x256": lambda: _bench_adaattn(
