@@ -10,6 +10,9 @@ Paths:
   reconet-512-b1         same with ONE frame in flight (serving latency, ms)
   adaattn-video-512x256  AdaAttN cosine video loop (encode+stylize/frame)
   adaattn-video-512      AdaAttN cosine at 512², batch 2
+  adaattn-video-512-cached
+                         same through the cached-style serving path
+                         (style pyramid/IN/g/h/K̂ᵀV precomputed per clip)
   adaattn-image-pallas   AdaAttN softmax (Pallas flash-moments), 512×256
   adaattn-softmax-512    AdaAttN softmax at 512² (the kernel's real target)
   reconet-train-f32      full ReCoNet flow-objective train step, 640×360 b4
@@ -109,9 +112,13 @@ def bench_reconet_512(family="reconet", batch=8):
     return f"{family}_512p_stylized_fps_per_chip", fps, "frames/sec", fps / 30.0
 
 
-def _bench_adaattn(w, h, batch, activation, metric):
+def _bench_adaattn(w, h, batch, activation, metric, cached=False):
     """AdaAttN video-loop throughput: per-frame VGG encode of the content +
-    stylize, style features precomputed once (AdaAttN/infer_video.py:40-64)."""
+    stylize, style features precomputed once (AdaAttN/infer_video.py:40-64).
+
+    cached=True measures the serving path the video stylizer actually uses
+    (models/adaattn.py::stylizing_network_cached): the style-side pyramid,
+    IN, g/h convs, and cosine K̂ᵀV moments are precomputed once per clip."""
     import jax
     import jax.numpy as jnp
 
@@ -126,15 +133,23 @@ def _bench_adaattn(w, h, batch, activation, metric):
     style = jnp.asarray((rng.random((1, h, w, 3)) * 255).astype(np.float32),
                         dtype=dt)
     fs_single = jax.jit(vgg.vgg19_adaattn_features)(vgg_params, style)
-    fs = {k: jnp.broadcast_to(v, (batch,) + v.shape[1:])
-          for k, v in fs_single.items()}
+    if cached:
+        fs = jax.jit(lambda p, f: adaattn.style_state(p, f, activation))(
+            params, fs_single)
+    else:
+        fs = {k: jnp.broadcast_to(v, (batch,) + v.shape[1:])
+              for k, v in fs_single.items()}
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def run(params, x, fs, n_steps):
         def body(carry, i):
             xi = x + i.astype(dt)
             fc = vgg.vgg19_adaattn_features(vgg_params, xi)
-            out = adaattn.stylizing_network(params, fc, fs, activation)
+            if cached:
+                out = adaattn.stylizing_network_cached(params, fc, fs,
+                                                       activation)
+            else:
+                out = adaattn.stylizing_network(params, fc, fs, activation)
             return jnp.mean(jnp.clip(out, 0, 255).astype(jnp.float32)), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0.0),
@@ -428,6 +443,9 @@ PATHS = {
         512, 512, 2, "cosine", "adaattn_video_512p_fps_per_chip"),
     "adaattn-video-512-b4": lambda: _bench_adaattn(
         512, 512, 4, "cosine", "adaattn_video_512p_b4_fps_per_chip"),
+    "adaattn-video-512-cached": lambda: _bench_adaattn(
+        512, 512, 2, "cosine", "adaattn_video_512p_cached_fps_per_chip",
+        cached=True),
     "adaattn-image-pallas": lambda: _bench_adaattn(
         512, 256, 2, "softmax", "adaattn_softmax_512x256_fps_per_chip"),
     "adaattn-softmax-512": lambda: _bench_adaattn(

@@ -170,6 +170,24 @@ class TestAdaAttN:
         np.testing.assert_allclose(np.asarray(m2l), np.asarray(m2e),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("activation,mode", [
+        ("cosine", "auto"), ("cosine", "exact"), ("softmax", "auto")])
+    def test_cached_style_state_equals_full(self, rng, activation, mode):
+        """The per-clip cached-style serving path (style pyramid/IN/g/h/K̂ᵀV
+        precomputed once) must reproduce the full stylizer."""
+        params = adaattn.init_stylizing_network(KEY)
+        fc, fs, _, _ = self._features(rng, 64, 96)
+        batch = 2
+        fc2 = {k: jnp.concatenate([v, v + 1.0]) for k, v in fc.items()}
+        fsb = {k: jnp.broadcast_to(v, (batch,) + v.shape[1:])
+               for k, v in fs.items()}
+        ref = adaattn.stylizing_network(params, fc2, fsb, activation, mode)
+        state = adaattn.style_state(params, fs, activation, mode)
+        got = jax.jit(lambda p, f, s: adaattn.stylizing_network_cached(
+            p, f, s, activation, mode))(params, fc2, state)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_softmax_chunked_equals_exact(self, rng):
         b, n, m, d, c = 1, 260, 180, 48, 24
         q = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))

@@ -175,18 +175,22 @@ class AdaAttNVideoStylizer:
         self.batch_size = batch_size
         self.pipeline_depth = max(1, pipeline_depth)
         fs_single = jax.jit(vgg_m.vgg19_adaattn_features)(vgg_params, style_255)
+        # style side computed ONCE per clip: downsample pyramid, IN, g/h
+        # 1×1 convs and (cosine) the K̂ᵀV moment matmuls are loop-invariant
+        # (the reference reruns them per frame, AdaAttN/infer_video.py:56-60)
+        state = jax.jit(
+            lambda p, fs: adaattn_m.style_state(p, fs, activation)
+        )(params, fs_single)
 
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def run(vgg_params, params, content, fs_single, n):
+        @jax.jit
+        def run(vgg_params, params, content, state):
             fc = vgg_m.vgg19_adaattn_features(vgg_params,
                                               content.astype(jnp.float32))
-            fs = {k: jnp.broadcast_to(v, (n,) + v.shape[1:])
-                  for k, v in fs_single.items()}
-            cs = adaattn_m.stylizing_network(params, fc, fs, activation)
+            cs = adaattn_m.stylizing_network_cached(params, fc, state,
+                                                    activation)
             return jnp.clip(cs, 0, 255).astype(jnp.uint8)
 
-        self._run = lambda content: run(vgg_params, params, content,
-                                        fs_single, content.shape[0])
+        self._run = lambda content: run(vgg_params, params, content, state)
 
     def stylize_frames(self, frames):
         """frames: iterator of HWC RGB uint8/float 0–255 → RGB uint8."""

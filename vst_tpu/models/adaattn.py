@@ -205,6 +205,17 @@ def _flatten_hw(x):
     return x.reshape(b, h * w, c)
 
 
+def _apply_moments(c_x, m1, m2):
+    """AdaAttN epilogue: out = sqrt(var)·IN(c) + mean (network.py:214-220)."""
+    b, h, w, _ = c_x.shape
+    var = m2 - m1 * m1
+    s = jnp.sqrt(jnp.clip(var, min=1e-6))
+    mmap = m1.reshape(b, h, w, -1)
+    smap = s.reshape(b, h, w, -1)
+    out = smap * instance_norm(c_x).astype(jnp.float32) + mmap
+    return out.astype(c_x.dtype)
+
+
 def adaattn_module(params, name, c_x, s_x, c_1x, s_1x, activation,
                    mode="auto", mesh=None, mesh_axis="data"):
     """One AdaAttN attention module (AdaAttN/network.py:174-220), NHWC.
@@ -220,20 +231,108 @@ def adaattn_module(params, name, c_x, s_x, c_1x, s_1x, activation,
         v = conv2d(s_x, params[f"{name}.h.weight"], params[f"{name}.h.bias"])
     else:
         q, k, v = qn, kn, s_x
-    b, h, w, _ = c_x.shape
     m1, m2 = attention_moments(
         _flatten_hw(q), _flatten_hw(k), _flatten_hw(v), activation, mode,
         mesh=mesh, mesh_axis=mesh_axis)
-    var = m2 - m1 * m1
-    s = jnp.sqrt(jnp.clip(var, min=1e-6))
-    mmap = m1.reshape(b, h, w, -1)
-    smap = s.reshape(b, h, w, -1)
-    out = smap * instance_norm(c_x).astype(jnp.float32) + mmap
-    return out.astype(c_x.dtype)
+    return _apply_moments(c_x, m1, m2)
 
 
 def adaattn_no_conv(c_x, s_x, c_1x, s_1x, activation, mode="auto"):
     return adaattn_module({}, None, c_x, s_x, c_1x, s_1x, activation, mode)
+
+
+# ------------------------------------------------- cached-style serving path
+
+def _cosine_linear_from_state(q, st, prec):
+    """Per-frame half of _attention_moments_cosine_linear against a
+    precomputed style state (same re-association, batchless style side)."""
+    qn = q * jax.lax.rsqrt(
+        jnp.sum(jnp.square(q), axis=-1, keepdims=True))
+    row = jnp.einsum("bnd,d->bn", qn, st["ksum"],
+                     preferred_element_type=jnp.float32,
+                     precision=prec) + st["m"]
+    inv = (1.0 / row)[..., None]
+    m1 = (jnp.einsum("bnd,dc->bnc", qn, st["kv"],
+                     preferred_element_type=jnp.float32, precision=prec)
+          + st["vsum"][None, None, :]) * inv
+    m2 = (jnp.einsum("bnd,dc->bnc", qn, st["kv2"],
+                     preferred_element_type=jnp.float32, precision=prec)
+          + st["v2sum"][None, None, :]) * inv
+    return m1, m2
+
+
+def style_state(params, fs, activation="cosine", mode="auto"):
+    """Precompute the style-only half of every attention module ONCE.
+
+    In the video use case (AdaAttN/infer_video.py:40-64) the style image is
+    fixed for the whole clip, yet the reference reruns the style-side
+    downsample pyramid, instance norm, g/h 1×1 convs, and (for cosine) the
+    K̂ᵀV moment matmuls on every frame.  All of that is loop-invariant; for
+    the linear cosine form the whole style side collapses to per-module
+    (ksum, vsum, v2sum, K̂ᵀV, K̂ᵀV²) — a few MB regardless of style
+    resolution.  fs: style tap dict with batch 1.
+
+    Returns a pytree usable with ``stylizing_network_cached`` (jit-safe).
+    """
+    fsl = list(fs.values())
+    assert fsl[0].shape[0] == 1, "style state is computed for one style"
+    prec = matmul_precision(fsl[0].dtype)
+    states = []
+    for i in range(3):
+        idx = i + 2
+        s_1x = feature_down_sample(fsl, idx)
+        kn_in = instance_norm(s_1x)
+        k = conv2d(kn_in, params[f"adaattn.{i}.g.weight"],
+                   params[f"adaattn.{i}.g.bias"])
+        v = conv2d(fsl[idx], params[f"adaattn.{i}.h.weight"],
+                   params[f"adaattn.{i}.h.bias"])
+        k2, v2 = _flatten_hw(k), _flatten_hw(v)
+        if activation == "cosine" and mode != "exact":
+            kn = k2 * jax.lax.rsqrt(
+                jnp.sum(jnp.square(k2), axis=-1, keepdims=True))
+            states.append({
+                "m": jnp.float32(k2.shape[1]),
+                "ksum": jnp.sum(kn, axis=1)[0],
+                "vsum": jnp.sum(v2, axis=1)[0].astype(jnp.float32),
+                "v2sum": jnp.sum(v2 * v2, axis=1)[0].astype(jnp.float32),
+                "kv": jnp.einsum("bmd,bmc->bdc", kn, v2,
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)[0],
+                "kv2": jnp.einsum("bmd,bmc->bdc", kn, v2 * v2,
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)[0],
+            })
+        else:
+            states.append({"k": k2[0], "v": v2[0]})
+    return states
+
+
+def stylizing_network_cached(params, fc, states, activation="cosine",
+                             mode="auto"):
+    """Per-frame stylizer against a precomputed ``style_state`` — identical
+    output to ``stylizing_network`` with the same activation/mode, minus the
+    per-frame style-side work."""
+    fcl = list(fc.values())
+    prec = matmul_precision(fcl[0].dtype)
+    outs = []
+    for i in range(3):
+        idx = i + 2
+        st = states[i]
+        c_x = fcl[idx]
+        c_1x = feature_down_sample(fcl, idx)
+        qn = instance_norm(c_1x)
+        q = conv2d(qn, params[f"adaattn.{i}.f.weight"],
+                   params[f"adaattn.{i}.f.bias"])
+        q2 = _flatten_hw(q)
+        if "ksum" in st:   # cosine_linear state (key structure is static)
+            m1, m2 = _cosine_linear_from_state(q2, st, prec)
+        else:
+            b = q2.shape[0]
+            k = jnp.broadcast_to(st["k"], (b,) + st["k"].shape)
+            v = jnp.broadcast_to(st["v"], (b,) + st["v"].shape)
+            m1, m2 = attention_moments(q2, k, v, activation, mode)
+        outs.append(_apply_moments(c_x, m1, m2))
+    return decoder(params, outs[2], outs[1], outs[0])
 
 
 # ----------------------------------------------------------------- decoder
