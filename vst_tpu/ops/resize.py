@@ -49,6 +49,25 @@ def _linear_matrix(in_size: int, out_size: int) -> np.ndarray:
     return m
 
 
+def _integer_down(x, axis: int, s: int):
+    """Integer-factor bilinear downscale along one axis, bit-identical to
+    the dense matrix: with in == s·out (align_corners=False) every output
+    samples src = s·j + (s−1)/2, i.e. for even s the average of source
+    pixels s·j + s/2 − 1 and s·j + s/2 (weights exactly 0.5 — a power of
+    two, so slice-average rounds identically to the matmul), and for odd s
+    the single pixel s·j + (s−1)//2.  Touches 2/s (or 1/s) of the rows the
+    dense contraction reads."""
+    idx = [slice(None)] * x.ndim
+    if s % 2 == 0:
+        idx[axis] = slice(s // 2 - 1, None, s)
+        a = x[tuple(idx)].astype(jnp.float32)
+        idx[axis] = slice(s // 2, None, s)
+        b = x[tuple(idx)].astype(jnp.float32)
+        return (a + b) * 0.5
+    idx[axis] = slice((s - 1) // 2, None, s)
+    return x[tuple(idx)].astype(jnp.float32)
+
+
 def resize_bilinear(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     """Resize NHWC tensor to (out_h, out_w), matching torch bilinear
     interpolate with align_corners=False and antialias=False."""
@@ -56,6 +75,12 @@ def resize_bilinear(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     n, h, w, c = x.shape
     if (h, w) == (out_h, out_w):
         return x
+    if (h % out_h == 0 and w % out_w == 0 and h > out_h and w > out_w):
+        # integer-factor downscale (feature pyramids): 2-tap slice-average,
+        # bit-identical to the dense path, reads a fraction of the tensor
+        y = _integer_down(x, 1, h // out_h)
+        y = _integer_down(y, 2, w // out_w)
+        return y.astype(x.dtype)
     mh = jnp.asarray(_linear_matrix(h, out_h))
     mw = jnp.asarray(_linear_matrix(w, out_w))
     prec = matmul_precision(x.dtype)
