@@ -3,7 +3,6 @@ AdaAttN/infer_image_all.py, and single-image use of the feed-forward
 models)."""
 
 import argparse
-import itertools
 import os
 
 import jax.numpy as jnp
@@ -91,18 +90,27 @@ def main(argv=None):
                          "are required for adaattn")
     if args.all_pairs:
         from vst_tpu.data.datasets import list_files
+        from vst_tpu.infer.image import (
+            adaattn_style_state,
+            stylize_adaattn_cached,
+        )
 
-        pairs = itertools.product(list_files(args.content),
-                                  list_files(args.style))
-        for cpath, spath in pairs:
-            c = _load(cpath, args.size or (512, 512))
+        # style-major: encode each style once into its attention state and
+        # reuse it across every content (same pair outputs as the
+        # reference's content×style product, AdaAttN/infer_image_all.py)
+        for spath in list_files(args.style):
             s = _load(spath, args.size or (512, 512))
-            out = stylize_adaattn(vgg_params, params, c, s, args.activation)
-            cname = os.path.splitext(os.path.basename(cpath))[0]
+            state = adaattn_style_state(vgg_params, params, s,
+                                        args.activation)
             sname = os.path.splitext(os.path.basename(spath))[0]
-            dst = os.path.join(args.out, f"{cname}__{sname}.png")
-            save_image_255(out[0], dst)
-            print(dst)
+            for cpath in list_files(args.content):
+                c = _load(cpath, args.size or (512, 512))
+                out = stylize_adaattn_cached(vgg_params, params, c, state,
+                                             args.activation)
+                cname = os.path.splitext(os.path.basename(cpath))[0]
+                dst = os.path.join(args.out, f"{cname}__{sname}.png")
+                save_image_255(out[0], dst)
+                print(dst)
     else:
         c = _load(args.content, args.size)
         s = _load(args.style, args.size)

@@ -58,6 +58,27 @@ def stylize_adaattn(vgg_params, params, content, style,
     return jnp.clip(cs, 0, 255)
 
 
+@functools.partial(jax.jit, static_argnames=("activation",))
+def adaattn_style_state(vgg_params, params, style,
+                        activation: str = "softmax"):
+    """Encode one style (batch 1) into the reusable per-style attention
+    state (models/adaattn.py::style_state) — one VGG pass + g/h convs
+    total, however many contents it is then applied to."""
+    fs = vgg_m.vgg19_adaattn_features(vgg_params, style)
+    return adaattn_m.style_state(params, fs, activation)
+
+
+@functools.partial(jax.jit, static_argnames=("activation",))
+def stylize_adaattn_cached(vgg_params, params, content, state,
+                           activation: str = "softmax"):
+    """stylize_adaattn against a precomputed ``adaattn_style_state`` —
+    identical output, none of the per-call style-side work (used by
+    ``infer_image --all-pairs``, AdaAttN/infer_image_all.py:18-57)."""
+    fc = vgg_m.vgg19_adaattn_features(vgg_params, content)
+    cs = adaattn_m.stylizing_network_cached(params, fc, state, activation)
+    return jnp.clip(cs, 0, 255)
+
+
 _ADA_SHARDED_CACHE = {}
 
 
