@@ -138,6 +138,24 @@ class TestWarp:
         ref = to_nhwc(self._torch_warp(nchw(x), nchw(flow), padding_mode))
         np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+    @pytest.mark.parametrize("c", [3, 48])
+    def test_packed_equals_percorner(self, rng, padding_mode, c, monkeypatch):
+        """The corner-packed gather (C≤32 fast path) must be bit-identical
+        to the per-corner formulation on the same inputs."""
+        import importlib
+
+        warp_mod = importlib.import_module("vst_tpu.ops.warp")
+        x = rand(rng, 2, 20, 26, c)
+        flow = (rng.standard_normal((2, 20, 26, 2)) * 8).astype(np.float32)
+        monkeypatch.setattr(warp_mod, "_PACK_MAX_CHANNELS", 10**9)
+        packed = np.asarray(ops.warp(jnp.asarray(x), jnp.asarray(flow),
+                                     padding_mode))
+        monkeypatch.setattr(warp_mod, "_PACK_MAX_CHANNELS", -1)
+        percorner = np.asarray(ops.warp(jnp.asarray(x), jnp.asarray(flow),
+                                        padding_mode))
+        np.testing.assert_array_equal(packed, percorner)
+
     def test_grid_sample_extreme_coords(self, rng):
         x = rand(rng, 1, 16, 16, 2)
         grid_np = (rng.standard_normal((1, 10, 12, 2)) * 1.5).astype(np.float32)
