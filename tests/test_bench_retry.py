@@ -1,0 +1,94 @@
+"""bench.py retry supervisor: a transient failed attempt must not lose the
+capture (round-3 failure mode: one axon UNAVAILABLE → BENCH_r03.json rc=1).
+
+The supervisor re-runs the bench body in a fresh subprocess (JAX caches a
+failed backend init in-process), so these tests stub subprocess.Popen.
+"""
+
+import json
+import subprocess
+
+import pytest
+
+import bench
+
+
+class _FakeProc:
+    def __init__(self, rc, out=b"", hang=False):
+        self.returncode = rc
+        self._out = out
+        self._hang = hang
+        self.terminated = False
+
+    def communicate(self, timeout=None):
+        if self._hang and not self.terminated:
+            raise subprocess.TimeoutExpired("bench", timeout)
+        return self._out, None
+
+    def terminate(self):
+        self.terminated = True
+
+    def kill(self):
+        self.terminated = True
+
+
+def _patch(monkeypatch, procs):
+    calls = []
+
+    def popen(cmd, **kw):
+        calls.append(cmd)
+        return procs[len(calls) - 1]
+
+    monkeypatch.setattr(subprocess, "Popen", popen)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    return calls
+
+
+def test_retries_transient_failure_then_succeeds(monkeypatch, capsys):
+    line = json.dumps({"metric": "m", "value": 1.0, "unit": "u",
+                       "vs_baseline": 1.0}) + "\n"
+    procs = [_FakeProc(1, b"RuntimeError: axon UNAVAILABLE\n"),
+             _FakeProc(1, b"RuntimeError: axon UNAVAILABLE\n"),
+             _FakeProc(0, line.encode())]
+    calls = _patch(monkeypatch, procs)
+    bench.main(["--path", "reconet-512"])
+    assert len(calls) == 3
+    out = capsys.readouterr().out
+    assert json.loads(out)["metric"] == "m"
+
+
+def test_first_attempt_success_no_retry(monkeypatch, capsys):
+    line = b'{"metric": "m", "value": 2.0, "unit": "u", "vs_baseline": 1.0}\n'
+    calls = _patch(monkeypatch, [_FakeProc(0, line)])
+    bench.main(["--path", "reconet-512"])
+    assert len(calls) == 1
+    assert json.loads(capsys.readouterr().out)["value"] == 2.0
+
+
+def test_hung_attempt_is_terminated_then_retried(monkeypatch, capsys):
+    hung = _FakeProc(1, b"", hang=True)
+    ok = _FakeProc(0, b'{"metric": "m", "value": 3.0, "unit": "u", '
+                      b'"vs_baseline": 1.0}\n')
+    calls = _patch(monkeypatch, [hung, ok])
+    bench.main(["--path", "reconet-512"])
+    assert hung.terminated  # graceful SIGTERM path, not SIGKILL
+    assert len(calls) == 2
+    assert json.loads(capsys.readouterr().out)["value"] == 3.0
+
+
+def test_exhausted_retries_raise(monkeypatch):
+    n = 1 + len(bench._RETRY_DELAYS_S)
+    calls = _patch(monkeypatch, [_FakeProc(1, b"boom\n") for _ in range(n)])
+    with pytest.raises(SystemExit):
+        bench.main(["--path", "reconet-512"])
+    assert len(calls) == n
+
+
+def test_inner_flag_bypasses_supervisor(monkeypatch):
+    ran = []
+    monkeypatch.setitem(bench.PATHS, "reconet-512",
+                        lambda: (ran.append(1) or ("m", 1.0, "u", 1.0)))
+    monkeypatch.setattr(subprocess, "Popen",
+                        lambda *a, **k: pytest.fail("spawned a subprocess"))
+    bench.main(["--path", "reconet-512", "--inner"])
+    assert ran == [1]
