@@ -16,8 +16,10 @@
 #include <cstdio>
 #include <cstring>
 #include <fcntl.h>
+#include <memory>
 #include <mutex>
 #include <string>
+#include <sys/stat.h>
 #include <thread>
 #include <unistd.h>
 #include <unordered_map>
@@ -43,8 +45,11 @@ struct Video {
   }
 };
 
+// shared_ptr so vstvideo_close during an in-flight vstvideo_read_batch
+// (e.g. Python __del__ on another thread) defers destruction until the
+// last reader drops its reference instead of use-after-free.
 std::mutex g_mu;
-std::unordered_map<int64_t, Video*> g_videos;
+std::unordered_map<int64_t, std::shared_ptr<Video>> g_videos;
 int64_t g_next_handle = 1;
 
 bool read_at(int fd, int64_t off, void* buf, int64_t n) {
@@ -228,24 +233,33 @@ int64_t vstvideo_open(const char* path, int64_t* n_frames, int64_t* height,
     ::close(fd);
     return -2;
   }
-  auto* video = new Video;
+  struct stat st;
+  const int64_t file_size = (::fstat(fd, &st) == 0) ? st.st_size : INT64_MAX;
+  auto video = std::make_shared<Video>();
   video->fd = fd;
-  const int64_t riff_end = 8 + le32(hdr + 4);
-  if (!parse_chunks(fd, 12, riff_end, &video->frames) ||
-      video->frames.empty()) {
-    delete video;
-    return -3;
+  const int64_t riff_end =
+      std::min<int64_t>(8 + le32(hdr + 4), file_size);
+  bool ok = parse_chunks(fd, 12, riff_end, &video->frames);
+  // Files over ~1 GB (ffmpeg/OpenCV writers) continue as OpenDML
+  // 'RIFF....AVIX' extension segments after the first RIFF; their movi
+  // lists hold the remaining frames.  Walk segments until EOF.
+  int64_t pos = riff_end + (riff_end & 1);
+  while (ok && pos + 12 <= file_size) {
+    if (!read_at(fd, pos, hdr, 12) || std::memcmp(hdr, "RIFF", 4) != 0 ||
+        std::memcmp(hdr + 8, "AVIX", 4) != 0)
+      break;  // trailing junk is not an error; stop indexing here
+    const int64_t seg_end =
+        std::min<int64_t>(pos + 8 + le32(hdr + 4), file_size);
+    ok = parse_chunks(fd, pos + 12, seg_end, &video->frames);
+    pos = seg_end + (seg_end & 1);
   }
+  if (!ok || video->frames.empty()) return -3;  // shared_ptr closes fd
   std::vector<uint8_t> first(video->frames[0].size);
-  if (!read_at(fd, video->frames[0].offset, first.data(), first.size())) {
-    delete video;
+  if (!read_at(fd, video->frames[0].offset, first.data(), first.size()))
     return -4;
-  }
   if (decode_jpeg(first.data(), first.size(), nullptr, &video->height,
-                  &video->width, /*header_only=*/true) != 0) {
-    delete video;
+                  &video->width, /*header_only=*/true) != 0)
     return -5;
-  }
   *n_frames = static_cast<int64_t>(video->frames.size());
   *height = video->height;
   *width = video->width;
@@ -259,7 +273,7 @@ int64_t vstvideo_open(const char* path, int64_t* n_frames, int64_t* height,
 // fanned across num_threads workers.  Returns 0 on success.
 int vstvideo_read_batch(int64_t handle, int64_t start, int64_t count,
                         uint8_t* out, int num_threads) {
-  Video* video;
+  std::shared_ptr<Video> video;  // keeps the fd alive across a racing close
   {
     std::lock_guard<std::mutex> lock(g_mu);
     auto it = g_videos.find(handle);
@@ -298,10 +312,11 @@ int vstvideo_read_batch(int64_t handle, int64_t start, int64_t count,
 }
 
 void vstvideo_close(int64_t handle) {
+  std::shared_ptr<Video> victim;  // destroy outside the lock
   std::lock_guard<std::mutex> lock(g_mu);
   auto it = g_videos.find(handle);
   if (it != g_videos.end()) {
-    delete it->second;
+    victim = std::move(it->second);
     g_videos.erase(it);
   }
 }

@@ -122,6 +122,87 @@ class TestNativeVideo:
             mid = v.read_batch(3, 4)
         np.testing.assert_array_equal(mid, all_frames[3:7])
 
+    @staticmethod
+    def _rewrite_as_avix(src_path, dst_path, split):
+        """Re-pack an MJPG AVI's frame chunks as a two-segment OpenDML file:
+        RIFF 'AVI ' holding frames [0, split) and a RIFF 'AVIX' extension
+        segment holding the rest — the layout ffmpeg/OpenCV emit past ~1 GB
+        (here at toy size, which only exercises the demuxer)."""
+        data = open(src_path, "rb").read()
+        frames = []
+
+        def walk(pos, end):
+            while pos + 8 <= end:
+                fourcc = data[pos:pos + 4]
+                size = int.from_bytes(data[pos + 4:pos + 8], "little")
+                if fourcc in (b"RIFF", b"LIST"):
+                    walk(pos + 12, min(end, pos + 8 + size))
+                elif fourcc in (b"00dc", b"00db") and size > 0:
+                    frames.append((pos + 8, size))
+                pos += 8 + size + (size & 1)
+
+        walk(12, 8 + int.from_bytes(data[4:8], "little"))
+        assert split < len(frames)
+
+        def movi(chunks):
+            body = b""
+            for off, size in chunks:
+                body += (b"00dc" + size.to_bytes(4, "little")
+                         + data[off:off + size])
+                if size & 1:
+                    body += b"\x00"
+            return (b"LIST" + (4 + len(body)).to_bytes(4, "little")
+                    + b"movi" + body)
+
+        seg1 = movi(frames[:split])
+        out = b"RIFF" + (4 + len(seg1)).to_bytes(4, "little") + b"AVI " + seg1
+        if len(out) & 1:
+            out += b"\x00"
+        seg2 = movi(frames[split:])
+        out += (b"RIFF" + (4 + len(seg2)).to_bytes(4, "little") + b"AVIX"
+                + seg2)
+        open(dst_path, "wb").write(out)
+        return len(frames)
+
+    def test_opendml_avix_segments(self, mjpg_avi, tmp_path):
+        """Frames in OpenDML 'AVIX' extension RIFF segments are indexed, not
+        silently dropped (large-file layout of ffmpeg/OpenCV writers)."""
+        from vst_tpu.data import video_native
+
+        if not video_native.available():
+            pytest.skip("libvstvideo.so not built")
+        path, frames = mjpg_avi
+        avix = str(tmp_path / "avix.avi")
+        n = self._rewrite_as_avix(path, avix, split=4)
+        assert n == len(frames)
+        with video_native.NativeMJPGVideo(path) as ref, \
+                video_native.NativeMJPGVideo(avix) as v:
+            assert v.n_frames == ref.n_frames == len(frames)
+            np.testing.assert_array_equal(v.read_batch(0, v.n_frames),
+                                          ref.read_batch(0, ref.n_frames))
+
+    def test_close_during_read_is_safe(self, mjpg_avi):
+        """vstvideo_close racing an in-flight read_batch must not crash
+        (the handle table holds shared_ptrs; close defers destruction)."""
+        import threading
+
+        from vst_tpu.data import video_native
+
+        if not video_native.available():
+            pytest.skip("libvstvideo.so not built")
+        path, _ = mjpg_avi
+        for _ in range(5):
+            v = video_native.NativeMJPGVideo(path, num_threads=4)
+            t = threading.Thread(target=v.close)
+            t.start()
+            try:
+                v.read_batch(0, v.n_frames)
+            except IOError:
+                pass  # close may win the race; only safety matters
+            finally:
+                t.join()
+                v.close()
+
     def test_open_video_fallback_none(self, tmp_path):
         """Non-AVI input → None (caller falls back to cv2)."""
         from vst_tpu.data import video_native

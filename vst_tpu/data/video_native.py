@@ -13,19 +13,55 @@ is missing or the file is not an MJPG AVI — callers then use
 
 import ctypes
 import os
+import subprocess
+import warnings
 
 import numpy as np
 
-_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native", "libvstvideo.so")
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libvstvideo.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "vstvideo.cc")
 _lib = None
+_load_failed = False
+
+
+def _ensure_fresh() -> bool:
+    """True when libvstvideo.so exists and is at least as new as its source.
+
+    The .so is not version-controlled (built by make/Dockerfile); a stale
+    binary next to an edited vstvideo.cc would otherwise load silently.
+    One quiet rebuild attempt; on failure we warn and fall back to cv2.
+    """
+    def fresh():
+        try:
+            return (os.path.getmtime(_LIB_PATH)
+                    >= os.path.getmtime(_SRC_PATH))
+        except OSError:
+            return False
+
+    if fresh():
+        return True
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "libvstvideo.so"],
+                       capture_output=True, timeout=120, check=False)
+    except Exception:
+        pass
+    if fresh():
+        return True
+    if os.path.exists(_LIB_PATH):
+        warnings.warn("native/libvstvideo.so is older than vstvideo.cc and "
+                      "rebuilding failed; using the cv2 decoder instead "
+                      "(run `make -C native`)")
+    return False
 
 
 def _load():
-    global _lib
-    if _lib is not None:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    if not _ensure_fresh():
+        _load_failed = True
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.vstvideo_open.argtypes = [

@@ -13,8 +13,11 @@ row-shifted slabs are materialized by XLA slices (three reads of the
 input instead of halo-overlapping block specs — ~0.1 ms of extra HBM
 traffic at 512², amortized against the matmul win).
 
-Used by ops.conv.conv2d_polyphase when enabled; parity-tested against the
-XLA path in tests/test_kernels.py.
+NOT wired into the serving path: measured 2.2x slower than XLA's conv on
+the isolated packed head conv (BENCH.md negative results), so
+ops.conv.conv2d_polyphase always takes the XLA path.  Kept in-tree as the
+measured-slower engineering record, exercised only by tests/test_kernels.py
+and the tools/ benches.
 """
 
 import functools
