@@ -39,16 +39,58 @@ class TestRoundTrips:
             np.testing.assert_array_equal(np.asarray(loaded[k]),
                                           np.asarray(params[k]))
 
-    def test_full_state(self, tmp_path):
+    def test_full_state_default_orbax(self, tmp_path):
+        """save_state's default writes an orbax checkpoint directory."""
+        opt = make_optimizer(1e-3)
+        state = create(reconet.init_reconet_sd2(KEY), opt)
+        path = str(tmp_path / "last_state")
+        ckpt.save_state(state, path)
+        assert os.path.isdir(path)
+        like = create(reconet.init_reconet_sd2(jax.random.PRNGKey(3)), opt)
+        loaded = ckpt.load_state(path, like=like)
+        assert int(loaded.step) == int(state.step)
+        for k in state.params:
+            np.testing.assert_array_equal(np.asarray(loaded.params[k]),
+                                          np.asarray(state.params[k]))
+        # periodic mid-epoch saves overwrite the same path in place
+        ckpt.save_state(loaded._replace(step=loaded.step + 1), path)
+        again = ckpt.load_state(path, like=like)
+        assert int(again.step) == int(state.step) + 1
+
+    def test_full_state_pickle(self, tmp_path):
         opt = make_optimizer(1e-3)
         state = create(reconet.init_reconet_sd2(KEY), opt)
         path = str(tmp_path / "state.pkl")
-        ckpt.save_state(state, path)
+        ckpt.save_state(state, path, format="pickle")
         loaded = ckpt.load_state(path)
         assert int(loaded.step) == int(state.step)
         for k in state.params:
             np.testing.assert_array_equal(np.asarray(loaded.params[k]),
                                           np.asarray(state.params[k]))
+
+    def test_legacy_unversioned_pickle_still_loads(self, tmp_path):
+        """Rounds ≤3 pickled the raw pytree with no version wrapper."""
+        import pickle
+
+        opt = make_optimizer(1e-3)
+        state = create(reconet.init_reconet_sd2(KEY), opt)
+        path = str(tmp_path / "old.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, state), f)
+        loaded = ckpt.load_state(path)
+        for k in state.params:
+            np.testing.assert_array_equal(np.asarray(loaded.params[k]),
+                                          np.asarray(state.params[k]))
+
+    def test_future_version_rejected(self, tmp_path):
+        import pickle
+
+        path = str(tmp_path / "future.pkl")
+        with open(path, "wb") as f:
+            pickle.dump({"__vst_state_version__": ckpt.STATE_VERSION + 1,
+                         "tree": {}}, f)
+        with pytest.raises(ValueError, match="state version"):
+            ckpt.load_state(path)
 
     def test_pth_round_trip(self, tmp_path):
         params = reconet.init_reconet(KEY)
@@ -98,6 +140,22 @@ class TestReferenceCheckpoints:
 
 
 class TestOrbax:
+    def test_round3_bare_layout_still_loads(self, tmp_path):
+        """Round-3 orbax checkpoints saved the bare TrainState tree with no
+        version wrapper; the loader sniffs the layout and restores both."""
+        import orbax.checkpoint as ocp
+
+        opt = make_optimizer(1e-3)
+        state = create(reconet.init_reconet_sd2(KEY), opt)
+        path = str(tmp_path / "bare")
+        with ocp.StandardCheckpointer() as c:
+            c.save(path, jax.tree.map(np.asarray, state))
+        like = create(reconet.init_reconet_sd2(jax.random.PRNGKey(4)), opt)
+        restored = ckpt.load_state(path, like=like)
+        for k in state.params:
+            np.testing.assert_array_equal(np.asarray(restored.params[k]),
+                                          np.asarray(state.params[k]))
+
     def test_round_trip(self, tmp_path):
         from vst_tpu.train.checkpoint import load_state_orbax, save_state_orbax
 

@@ -73,7 +73,7 @@ class TestTrainCLI:
         files = os.listdir(out_dir)
         assert any(f.endswith(".npz") for f in files)
         assert any(f.endswith(".pth") for f in files)
-        assert any(f.endswith("_last_state.pkl") for f in files)
+        assert os.path.isdir(os.path.join(out_dir, "rtnstv_last_state"))
 
     def test_rtnstv_data_parallel(self, tmp_path, rng):
         """--data-parallel 8 on the virtual CPU mesh: batch sharded on the
@@ -93,7 +93,7 @@ class TestTrainCLI:
         ])
         files = os.listdir(out_dir)
         assert any(f.endswith(".npz") for f in files)
-        assert any(f.endswith("_last_state.pkl") for f in files)
+        assert os.path.isdir(os.path.join(out_dir, "rtnstv_last_state"))
 
     def test_data_parallel_batch_mismatch_exits(self, tmp_path, rng):
         root = str(tmp_path / "sceneflow")
@@ -290,6 +290,16 @@ class TestRaftFlowEngine:
         assert os.path.exists(out)
 
 
+def _load_rtnstv_state(path):
+    """Orbax restores against a template of the right tree structure."""
+    from vst_tpu.models import rtnstv
+    from vst_tpu.train.checkpoint import load_state
+    from vst_tpu.train.state import create, make_optimizer
+
+    like = create(rtnstv.init_stylizing_network(0), make_optimizer(1e-3))
+    return load_state(path, like=like)
+
+
 class TestTrainResume:
     def test_resume_from_state(self, tmp_path, rng):
         from vst_tpu.cli import train as cli_train2
@@ -304,17 +314,15 @@ class TestTrainResume:
                   "--out-dir", out_dir, "--batch-size", "2",
                   "--img-size", "24", "32", "--log-every", "0"]
         cli_train2.main(common + ["--epochs", "1"])
-        state_path = os.path.join(out_dir, "rtnstv_last_state.pkl")
-        assert os.path.exists(state_path)
+        state_path = os.path.join(out_dir, "rtnstv_last_state")
+        assert os.path.isdir(state_path)  # orbax directory (default format)
         # resume into epoch 2
         cli_train2.main(common + ["--epochs", "2", "--epoch-start", "2",
                                   "--resume", state_path])
         assert os.path.exists(os.path.join(
             out_dir, "rtnstv_epoch_2_batchSize_2.npz"))
 
-        from vst_tpu.train.checkpoint import load_state
-
-        final = load_state(state_path)
+        final = _load_rtnstv_state(state_path)
         assert int(final.step) == 8  # 2 epochs x 4 batches
 
     def test_auto_resume(self, tmp_path, rng, capsys):
@@ -342,9 +350,8 @@ class TestTrainResume:
         assert os.path.exists(os.path.join(
             out_dir, "rtnstv_epoch_2_batchSize_2.npz"))
 
-        from vst_tpu.train.checkpoint import load_state
-
-        final = load_state(os.path.join(out_dir, "rtnstv_last_state.pkl"))
+        final = _load_rtnstv_state(os.path.join(out_dir,
+                                                "rtnstv_last_state"))
         assert int(final.step) == 8
 
 

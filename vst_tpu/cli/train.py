@@ -202,12 +202,17 @@ def main(argv=None):
 
         path = args.resume
         if path == "auto":
-            path = os.path.join(args.out_dir, name + "_last_state.pkl")
-            if not os.path.exists(path):
-                print(f"auto-resume: no {path}, starting fresh")
-                path = None
+            # orbax directory (current default), then the legacy pickle
+            path = os.path.join(args.out_dir, name + "_last_state")
+            if not os.path.isdir(path):
+                legacy = path + ".pkl"
+                if os.path.exists(legacy):
+                    path = legacy
+                else:
+                    print(f"auto-resume: no {path}, starting fresh")
+                    path = None
         if path:
-            state = load_state(path)
+            state = load_state(path, like=state)
             if args.resume == "auto" and args.epoch_start == 1:
                 n_batches = max(len(dataset) // cfg.batch_size, 1)
                 args.epoch_start = int(state.step) // n_batches + 1

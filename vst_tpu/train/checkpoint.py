@@ -7,7 +7,9 @@ SURVEY.md §5.4):
 - ``save_params`` / ``load_params``: flat param dicts as ``.npz`` (the
   param keys are torch state_dict names, so npz keys are self-describing).
 - ``save_state`` / ``load_state``: full TrainState (params + Adam moments +
-  step) via a pickled numpy pytree.
+  step).  Default format is an orbax checkpoint DIRECTORY (atomic writes,
+  versioned); ``load_state`` also reads the legacy pickle files earlier
+  rounds wrote, so old checkpoints keep resuming.
 - ``export_pth`` / ``import_pth``: round-trip with reference checkpoints
   (vst_tpu.compat handles the layout changes).
 """
@@ -37,16 +39,48 @@ def load_params(path: str) -> dict:
         return {k: jnp.asarray(data[k]) for k in data.files}
 
 
-def save_state(state: TrainState, path: str) -> None:
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
-        pickle.dump(_to_numpy_tree(state), f)
+# Bumped when the saved tree layout changes; both formats embed it so a
+# layout change fails loudly instead of silently orphaning old checkpoints.
+STATE_VERSION = 1
 
 
-def load_state(path: str) -> TrainState:
+def save_state(state: TrainState, path: str, *, format: str = "orbax") -> None:
+    """Write a resumable full-state checkpoint.
+
+    ``format="orbax"`` (default): an orbax checkpoint directory at ``path``
+    (atomic rename on completion; overwrites in place for periodic
+    mid-epoch saves).  ``format="pickle"``: the single-file numpy-pytree
+    pickle, kept for environments without orbax; now versioned.
+    """
+    if format == "orbax":
+        save_state_orbax(state, path)
+    elif format == "pickle":
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump({"__vst_state_version__": STATE_VERSION,
+                         "tree": _to_numpy_tree(state)}, f)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown checkpoint format {format!r}")
+
+
+def load_state(path: str, like: TrainState | None = None) -> TrainState:
+    """Load a full-state checkpoint written by any round's ``save_state``.
+
+    A directory is an orbax checkpoint (``like`` supplies the tree
+    structure — pass a freshly ``create``d TrainState); a file is a pickle,
+    either the versioned form or the raw pytree rounds ≤3 wrote.
+    """
+    if os.path.isdir(path):
+        return load_state_orbax(path, like)
     with open(path, "rb") as f:
-        tree = pickle.load(f)
-    return jax.tree.map(jnp.asarray, tree)
+        obj = pickle.load(f)
+    if isinstance(obj, dict) and "__vst_state_version__" in obj:
+        v = obj["__vst_state_version__"]
+        if v > STATE_VERSION:
+            raise ValueError(f"checkpoint {path} has state version {v}; "
+                             f"this build reads ≤{STATE_VERSION}")
+        obj = obj["tree"]
+    return jax.tree.map(jnp.asarray, obj)
 
 
 def export_pth(params: dict, path: str) -> None:
@@ -85,25 +119,49 @@ def partial_init_from(params: dict, donor: dict) -> dict:
 
 
 def save_state_orbax(state: TrainState, path: str) -> None:
-    """Orbax-backed full-state checkpoint (atomic, async-capable).
-
-    The default ``save_state``/``load_state`` (pickled numpy pytree) has no
-    extra dependencies; this variant integrates with orbax tooling.
-    """
+    """Orbax-backed full-state checkpoint directory (atomic; the default
+    ``save_state`` format).  Versioned via a wrapper leaf.  ``force=True``
+    so periodic mid-epoch saves overwrite in place."""
     import orbax.checkpoint as ocp
 
+    wrapped = {"format_version": np.array(STATE_VERSION, np.int32),
+               "state": _to_numpy_tree(state)}
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.abspath(path), _to_numpy_tree(state))
+        ckptr.save(os.path.abspath(path), wrapped, force=True)
 
 
-def load_state_orbax(path: str, like: TrainState) -> TrainState:
+def load_state_orbax(path: str, like: TrainState | None) -> TrainState:
     """Restore an orbax checkpoint; ``like`` supplies the tree structure
     (e.g. a freshly created TrainState)."""
     import orbax.checkpoint as ocp
 
+    if like is None:
+        raise ValueError(
+            "orbax checkpoints restore against a template: pass "
+            "like=<freshly created TrainState> to load_state")
+    path = os.path.abspath(path)
+    # round-3 checkpoints are the bare tree, no version wrapper: sniff the
+    # pytree key list from orbax's _METADATA file to pick the template
+    try:
+        import json
+
+        with open(os.path.join(path, "_METADATA")) as f:
+            tree_keys = json.load(f)["tree_metadata"]
+        versioned = any(k.startswith("('format_version'") for k in tree_keys)
+    except Exception:
+        versioned = True
     with ocp.StandardCheckpointer() as ckptr:
-        tree = ckptr.restore(os.path.abspath(path),
-                             _to_numpy_tree(like))
+        if versioned:
+            wrapped = ckptr.restore(
+                path, {"format_version": np.array(0, np.int32),
+                       "state": _to_numpy_tree(like)})
+            v = int(wrapped["format_version"])
+            if v > STATE_VERSION:
+                raise ValueError(f"checkpoint {path} has state version {v}; "
+                                 f"this build reads ≤{STATE_VERSION}")
+            tree = wrapped["state"]
+        else:
+            tree = ckptr.restore(path, _to_numpy_tree(like))
     return jax.tree.map(jnp.asarray, tree)
 
 

@@ -79,7 +79,7 @@ def run_training(
                 # mid-epoch durability (the reference only saves per epoch
                 # and loses partial progress on failure — SURVEY.md §5.3/5.4)
                 ckpt.save_state(state, os.path.join(
-                    out_dir, model_name + "_last_state.pkl"))
+                    out_dir, model_name + "_last_state"))
             if log_every and (i % log_every == 0 or i == n_batches - 1):
                 vals = {k: float(v) for k, v in metrics.items()}
                 for k, v in vals.items():
@@ -95,7 +95,8 @@ def run_training(
         name = ckpt.epoch_checkpoint_name(model_name, epoch, batch_size)
         params_host = {k: np.asarray(v) for k, v in state.params.items()}
         ckpt.save_params(params_host, os.path.join(out_dir, name + ".npz"))
-        ckpt.save_state(state, os.path.join(out_dir, model_name + "_last_state.pkl"))
+        ckpt.save_state(state, os.path.join(out_dir,
+                                            model_name + "_last_state"))
         if export_pth:
             ckpt.export_pth(params_host, os.path.join(out_dir, name + ".pth"))
     return state
