@@ -14,7 +14,7 @@ Parity target: AdaAttN/lossfn.py:5-53.
 import jax.numpy as jnp
 
 from vst_tpu.losses.perceptual import mse
-from vst_tpu.ops._precision import matmul_precision
+from vst_tpu.ops._precision import accum_dtype, matmul_precision
 
 
 def _spatial_mean_std(f):
@@ -43,10 +43,11 @@ def cosine_distance(fu, fv):
     fu/fv: NHWC feature maps of identical shape.
     """
     b, h, w, c = fu.shape
-    u = fu.reshape(b, h * w, c).astype(jnp.float32)
-    v = fv.reshape(b, h * w, c).astype(jnp.float32)
+    acc = accum_dtype(fu.dtype)
+    u = fu.reshape(b, h * w, c).astype(acc)
+    v = fv.reshape(b, h * w, c).astype(acc)
     dots = jnp.einsum("bpc,bpd->bcd", u, v,
-                      preferred_element_type=jnp.float32,
+                      preferred_element_type=acc,
                       precision=matmul_precision(fu.dtype))
     nu = jnp.sqrt(jnp.sum(jnp.square(u), axis=1))  # (b, c)
     nv = jnp.sqrt(jnp.sum(jnp.square(v), axis=1))  # (b, c)

@@ -21,9 +21,22 @@ def conv_accum_dtype(dtype):
     """preferred_element_type for convs: full-f32 accumulation for float32
     inputs; None for bf16 (the MXU still accumulates f32 internally and
     rounds the output) — conv_general_dilated's gradient rejects a
-    preferred_element_type that differs from the operand dtype."""
+    preferred_element_type that differs from the operand dtype.  float64
+    (x64-mode parity tests) must not narrow to f32."""
     import jax.numpy as jnp
 
-    if dtype == jnp.float32 or dtype == jnp.float64:
+    if dtype == jnp.float64:
+        return jnp.float64
+    if dtype == jnp.float32:
         return jnp.float32
     return None
+
+
+def accum_dtype(dtype):
+    """preferred_element_type for dot_general/einsum accumulation: at least
+    f32, and the operand dtype itself when it is wider (float64)."""
+    import jax.numpy as jnp
+
+    if dtype == jnp.float64:
+        return jnp.float64
+    return jnp.float32

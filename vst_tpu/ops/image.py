@@ -11,7 +11,7 @@ Parity targets:
 
 import jax.numpy as jnp
 
-from vst_tpu.ops._precision import matmul_precision
+from vst_tpu.ops._precision import accum_dtype, matmul_precision
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -27,9 +27,10 @@ def vgg_normalize(x: jnp.ndarray) -> jnp.ndarray:
 
 def _gram(y: jnp.ndarray) -> jnp.ndarray:
     n, h, w, c = y.shape
-    f = y.reshape(n, h * w, c).astype(jnp.float32)
+    acc = accum_dtype(y.dtype)
+    f = y.reshape(n, h * w, c).astype(acc)
     return jnp.einsum("npc,npd->ncd", f, f,
-                      preferred_element_type=jnp.float32,
+                      preferred_element_type=acc,
                       precision=matmul_precision(y.dtype))
 
 

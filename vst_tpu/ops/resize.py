@@ -24,7 +24,7 @@ import functools
 import numpy as np
 import jax.numpy as jnp
 
-from vst_tpu.ops._precision import matmul_precision
+from vst_tpu.ops._precision import accum_dtype, matmul_precision
 
 
 @functools.lru_cache(maxsize=256)
@@ -81,13 +81,14 @@ def resize_bilinear(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
         y = _integer_down(x, 1, h // out_h)
         y = _integer_down(y, 2, w // out_w)
         return y.astype(x.dtype)
-    mh = jnp.asarray(_linear_matrix(h, out_h))
-    mw = jnp.asarray(_linear_matrix(w, out_w))
+    acc = accum_dtype(x.dtype)
+    mh = jnp.asarray(_linear_matrix(h, out_h), dtype=acc)
+    mw = jnp.asarray(_linear_matrix(w, out_w), dtype=acc)
     prec = matmul_precision(x.dtype)
     y = jnp.einsum("ph,nhwc->npwc", mh, x,
-                   preferred_element_type=jnp.float32, precision=prec)
+                   preferred_element_type=acc, precision=prec)
     y = jnp.einsum("qw,npwc->npqc", mw, y,
-                   preferred_element_type=jnp.float32, precision=prec)
+                   preferred_element_type=acc, precision=prec)
     return y.astype(x.dtype)
 
 
