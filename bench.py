@@ -365,26 +365,31 @@ def bench_pipeline_stream():
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16),
                           reconet.init_reconet(0))
 
+    from vst_tpu.ops.yuv import rgb_to_i420
+
     @jax.jit
     def model_fn(x):
         out = reconet.reconet(params, x.astype(jnp.bfloat16))[-1]
-        return jnp.clip(out, 0, 255).astype(jnp.uint8)
+        # I420 wire: the down-link is the measured bottleneck (16 MB/s,
+        # BENCH.md) — 1.5 B/px doubles the fps ceiling, and the delivered
+        # container is YUV420 anyway (bit-exact cv2 RGB2YUV_I420 on device)
+        return rgb_to_i420(jnp.clip(out, 0, 255))
 
     # warm the compile outside the timed region (one-shape-per-run holds)
     np.asarray(model_fn(jnp.zeros((8, h, w, 3), jnp.uint8)))
 
     t0 = time.perf_counter()
-    # uint8 on the wire both ways (1 byte/channel vs 4), and model_fn
-    # returns device arrays: StreamingStylizer keeps pipeline_depth batches
-    # in flight, overlapping decode/transfer/compute/fetch and amortizing
-    # the tunnel's fixed per-call dispatch latency.  Decode uses the native
-    # thread-pool MJPG reader when built (native/vstvideo.cc); encode runs
-    # on the StreamingVideoWriter thread, overlapping the drain.
+    # uint8 up, packed I420 down; model_fn returns device arrays:
+    # StreamingStylizer keeps pipeline_depth batches in flight, overlapping
+    # decode/transfer/compute/fetch and amortizing the tunnel's fixed
+    # per-call dispatch latency.  Decode uses the native thread-pool MJPG
+    # reader when built (native/vstvideo.cc); encode runs on the
+    # StreamingVideoWriter thread, overlapping the drain.
     n_out = 0
     with StreamingVideoWriter(os.path.join(tmp, "out.avi"), fps=30) as vw_out:
         for frame in StreamingStylizer(
                 model_fn, frames_from_source(src, (w, h), dtype="uint8"), 1,
-                8, pipeline_depth=6, output="rgb_uint8"):
+                8, pipeline_depth=6, output="rgb_uint8", wire="i420"):
             vw_out.put(frame)
             n_out += 1
     dt_s = time.perf_counter() - t0
@@ -424,9 +429,14 @@ def bench_tunnel_link():
     up = n * frame_bytes / h2d / 2**20
     down = n * frame_bytes / d2h / 2**20
     # a streamed frame crosses the link once in each direction; directions
-    # may overlap, so the ceiling is set by the slower one
-    fps_ceiling = min(up, down) * 2**20 / frame_bytes
-    print(f"# link: {up:.0f} MB/s up, {down:.0f} MB/s down", file=sys.stderr)
+    # may overlap, so the ceiling is set by the slower budget.  Up is RGB888
+    # (3 B/px); down is packed I420 (1.5 B/px) since the pipeline converts
+    # to YUV 4:2:0 on device (ops/yuv.py).
+    fps_ceiling = min(up * 2**20 / frame_bytes,
+                      down * 2**20 / (frame_bytes // 2))
+    rgb_ceiling = min(up, down) * 2**20 / frame_bytes
+    print(f"# link: {up:.0f} MB/s up, {down:.0f} MB/s down; "
+          f"rgb-wire ceiling {rgb_ceiling:.1f} fps", file=sys.stderr)
     return ("stream_link_640x360_fps_ceiling", fps_ceiling, "frames/sec",
             fps_ceiling / 30.0)
 

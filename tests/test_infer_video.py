@@ -132,6 +132,86 @@ class TestStreamingStylizer:
         assert materialized == sorted(materialized)
 
 
+class TestI420Wire:
+    """Device-side RGB→YUV 4:2:0 packing (ops/yuv.py): the down-link
+    optimization must be BIT-EXACT cv2 COLOR_RGB2YUV_I420."""
+
+    def test_rgb_to_i420_bit_equals_cv2(self, rng):
+        cv2 = pytest.importorskip("cv2")
+        import jax.numpy as jnp
+
+        from vst_tpu.ops.yuv import rgb_to_i420
+
+        for h, w in [(360, 640), (4, 4), (30, 34)]:
+            rgb = rng.integers(0, 256, (2, h, w, 3)).astype(np.uint8)
+            ours = np.asarray(rgb_to_i420(jnp.asarray(rgb)))
+            for i in range(2):
+                ref = cv2.cvtColor(rgb[i], cv2.COLOR_RGB2YUV_I420)
+                np.testing.assert_array_equal(ours[i], ref, err_msg=f"{h}x{w}")
+
+    def test_float_input_matches_uint8_truncation(self, rng):
+        """Model outputs are clipped floats; the packed conversion must
+        equal casting to uint8 first (the rgb wire's truncating cast)."""
+        import jax.numpy as jnp
+
+        from vst_tpu.ops.yuv import rgb_to_i420
+
+        f = (rng.random((1, 16, 20, 3)) * 255.99).astype(np.float32)
+        a = np.asarray(rgb_to_i420(jnp.asarray(f)))
+        b = np.asarray(rgb_to_i420(jnp.asarray(f.astype(np.uint8))))
+        np.testing.assert_array_equal(a, b)
+
+    def test_odd_shape_rejected(self):
+        import jax.numpy as jnp
+
+        from vst_tpu.ops.yuv import rgb_to_i420
+
+        with pytest.raises(ValueError, match="even"):
+            rgb_to_i420(jnp.zeros((1, 5, 4, 3)))
+
+    def test_round_trip_equals_host_conversion(self, rng):
+        """i420_to_rgb(rgb_to_i420(x)) == the pure-cv2 round trip — the
+        wire change only moves WHERE the (lossy-by-design) 4:2:0 step
+        happens, not what the delivered frame is."""
+        cv2 = pytest.importorskip("cv2")
+        import jax.numpy as jnp
+
+        from vst_tpu.ops.yuv import i420_to_rgb, rgb_to_i420
+
+        rgb = rng.integers(0, 256, (6, 8, 3)).astype(np.uint8)
+        ours = i420_to_rgb(np.asarray(rgb_to_i420(jnp.asarray(rgb[None])))[0])
+        ref = cv2.cvtColor(cv2.cvtColor(rgb, cv2.COLOR_RGB2YUV_I420),
+                           cv2.COLOR_YUV2RGB_I420)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_streaming_stylizer_i420_wire(self, rng):
+        """End-to-end through StreamingStylizer: wire='i420' yields the
+        same frames as wire='rgb' put through the host 4:2:0 round trip."""
+        cv2 = pytest.importorskip("cv2")
+        import jax.numpy as jnp
+
+        from vst_tpu.ops.yuv import rgb_to_i420
+
+        clip = [(rng.random((12, 16, 3)) * 255).astype(np.float32)
+                for _ in range(7)]
+
+        def model_rgb(batch):
+            return np.clip(batch, 0, 255).astype(np.uint8)
+
+        def model_i420(batch):
+            return np.asarray(rgb_to_i420(
+                jnp.asarray(np.clip(batch, 0, 255))))
+
+        rgb_out = list(StreamingStylizer(model_rgb, iter(clip), 1, 3))
+        i420_out = list(StreamingStylizer(model_i420, iter(clip), 1, 3,
+                                          wire="i420"))
+        assert len(rgb_out) == len(i420_out) == len(clip)
+        for a, b in zip(rgb_out, i420_out):
+            ref = cv2.cvtColor(cv2.cvtColor(a, cv2.COLOR_RGB2YUV_I420),
+                               cv2.COLOR_YUV2RGB_I420)
+            np.testing.assert_array_equal(ref, b)
+
+
 class TestAdaAttNStreaming:
     @pytest.mark.slow
     def test_batching(self, rng):

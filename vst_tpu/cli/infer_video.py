@@ -58,6 +58,10 @@ def build_parser():
     p.add_argument("--platform", choices=["cpu", "tpu"],
                    help="pin the JAX backend (default: auto; also "
                         "honours VST_PLATFORM)")
+    p.add_argument("--wire", default="rgb", choices=["rgb", "i420"],
+                   help="device→host frame format: i420 packs YUV 4:2:0 on "
+                        "device (half the down-link bytes; bit-exact cv2 "
+                        "RGB2YUV_I420 — what a yuv420 encode does anyway)")
     return p
 
 
@@ -79,19 +83,28 @@ def main(argv=None):
         style = jnp.asarray(load_image_255(args.style, size)[None])
         stylizer = AdaAttNVideoStylizer(vgg_params, params, style,
                                         args.activation, args.batch_size,
-                                        pipeline_depth=args.pipeline_depth)
+                                        pipeline_depth=args.pipeline_depth,
+                                        wire=args.wire)
         frames = frames_from_source(args.video, size, "area", dtype="uint8")
         out_iter = stylizer.stylize_frames(frames)
     else:
         size = tuple(args.size or (640, 360))
         # uint8 on the wire both ways: decoder-native frames go up, styled
         # uint8 comes down; the jitted stylizers cast/clamp on device.
+        wire = args.wire
+        if wire == "i420" and args.weights2:
+            import sys
+
+            print("warning: --wire i420 is unsupported with --weights2 "
+                  "(side-by-side concatenation); using rgb", file=sys.stderr)
+            wire = "rgb"
         if args.model == "rtnstv":
             model_fn = functools.partial(stylize_rtnstv, params,
-                                         uint8_out=True)
+                                         uint8_out=True, wire=wire)
         else:
             model_fn = functools.partial(stylize_reconet, params,
-                                         family=args.model, uint8_out=True)
+                                         family=args.model, uint8_out=True,
+                                         wire=wire)
         if args.weights2:
             params2 = load_weights(args.weights2)
             fam2 = args.model2 or args.model
@@ -112,7 +125,8 @@ def main(argv=None):
                                     dtype="uint8")
         out_iter = iter(StreamingStylizer(
             model_fn, frames, args.input_frame_num, args.batch_size,
-            args.first_frame, pipeline_depth=args.pipeline_depth))
+            args.first_frame, pipeline_depth=args.pipeline_depth,
+            wire=wire))
 
     show = args.show
     if show:

@@ -23,29 +23,34 @@ def _compute_dtype(params):
     return dt if jnp.issubdtype(dt, jnp.floating) else jnp.float32
 
 
-def _finish(styled, uint8_out):
+def _finish(styled, uint8_out, wire="rgb"):
     """Clamp to 0–255; optionally truncate to uint8 ON DEVICE so the
     device→host link carries 1 byte/channel instead of 4 (the truncating
     cast matches the reference's numpy uint8 conversion,
-    ReCoNet/utilities.py:217-219)."""
+    ReCoNet/utilities.py:217-219).  ``wire="i420"`` additionally packs to
+    YUV 4:2:0 on device (ops/yuv.py) — 1.5 B/px on the link."""
     styled = jnp.clip(styled, 0, 255)
+    if wire == "i420":
+        from vst_tpu.ops.yuv import rgb_to_i420
+
+        return rgb_to_i420(styled)
     return styled.astype(jnp.uint8) if uint8_out else styled
 
 
-@functools.partial(jax.jit, static_argnames=("family", "uint8_out"))
+@functools.partial(jax.jit, static_argnames=("family", "uint8_out", "wire"))
 def stylize_reconet(params, x, family: str = "reconet",
-                    uint8_out: bool = False):
+                    uint8_out: bool = False, wire: str = "rgb"):
     """x: (N, H, W, 3·frames) 0–255 (any dtype, incl. uint8 — cast to the
     params' compute dtype on device, so hosts can ship raw uint8 frames)
     → clamped styled frames (ReCoNet/utilities.py:217-219)."""
     x = x.astype(_compute_dtype(params))
-    return _finish(RECONET_FORWARD[family](params, x)[-1], uint8_out)
+    return _finish(RECONET_FORWARD[family](params, x)[-1], uint8_out, wire)
 
 
-@functools.partial(jax.jit, static_argnames=("uint8_out",))
-def stylize_rtnstv(params, x, uint8_out: bool = False):
+@functools.partial(jax.jit, static_argnames=("uint8_out", "wire"))
+def stylize_rtnstv(params, x, uint8_out: bool = False, wire: str = "rgb"):
     x = x.astype(_compute_dtype(params))
-    return _finish(rtnstv_m.stylizing_network(params, x), uint8_out)
+    return _finish(rtnstv_m.stylizing_network(params, x), uint8_out, wire)
 
 
 @functools.partial(jax.jit, static_argnames=("activation",))
