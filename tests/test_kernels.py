@@ -129,3 +129,75 @@ class TestHeadConvKernel:
                                           dimension_numbers=_DIMNUMS)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(direct),
                                    rtol=1e-3, atol=1e-3)
+
+
+class TestFusedResBlock:
+    """kernels/res_block.py — conv+IN-stats epilogue / normalize+relu
+    prologue fusion vs the reference composition (interpret mode)."""
+
+    def _params(self, rng=None):
+        from vst_tpu.models import reconet
+
+        return reconet.init_reconet(0)
+
+    def test_f32_parity(self, rng):
+        import jax.numpy as jnp
+
+        from vst_tpu.kernels.res_block import residual_block_fused
+        from vst_tpu.models import reconet
+
+        params = self._params()
+        x = jnp.asarray((rng.standard_normal((2, 16, 24, 192)) * 3)
+                        .astype(np.float32))
+        ref = reconet.residual_block(params, "res1", x)
+        ours = residual_block_fused(params, "res1", x, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_bf16_parity(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from vst_tpu.kernels.res_block import residual_block_fused
+        from vst_tpu.models import reconet
+
+        params = jax.tree.map(lambda v: jnp.asarray(v, jnp.bfloat16),
+                              self._params())
+        x = jnp.asarray((rng.standard_normal((2, 16, 24, 192)) * 3)
+                        .astype(np.float32)).astype(jnp.bfloat16)
+        ref = np.asarray(reconet.residual_block(params, "res1", x)
+                         .astype(jnp.float32))
+        ours = np.asarray(residual_block_fused(params, "res1", x,
+                                               interpret=True)
+                          .astype(jnp.float32))
+        # bf16 rounding points differ (kernel rounds once post-f32-accum);
+        # bound by a few bf16 ulps of the output scale
+        scale = np.abs(ref).max()
+        assert np.abs(ours - ref).max() <= 0.02 * scale
+
+    def test_conv_stats_match_ops(self, rng):
+        """The epilogue stats must equal instance-norm's mean/biased-var
+        of the conv output."""
+        import jax.numpy as jnp
+
+        from vst_tpu.kernels.res_block import conv3x3_in_stats
+        from vst_tpu.models import reconet
+        from vst_tpu.ops.pad import reflection_pad2d
+        from vst_tpu.ops.conv import conv2d
+
+        params = self._params()
+        w = params["res1.conv1.conv2d.weight"]
+        b = params["res1.conv1.conv2d.bias"]
+        x = jnp.asarray(rng.standard_normal((1, 8, 16, 192))
+                        .astype(np.float32))
+        y, stats = conv3x3_in_stats(x, w, b, interpret=True)
+        ref = conv2d(reflection_pad2d(x, 1), w, b, stride=1)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        yf = np.asarray(ref, np.float64)
+        np.testing.assert_allclose(np.asarray(stats[0, 0]),
+                                   yf.mean(axis=(0, 1, 2)), rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(stats[0, 1]),
+                                   yf.var(axis=(0, 1, 2)), rtol=1e-3,
+                                   atol=1e-5)

@@ -1,0 +1,106 @@
+"""Fused-Pallas vs XLA residual stack at the ReCoNet serving shape.
+
+VERDICT r3 item 8: res×5 is the largest inference stage (1.25 ms/frame,
+44% MXU at 512² b8 bf16); this measures the fused conv+IN-stats /
+normalize+relu-prologue kernel (kernels/res_block.py) against the plain
+composition on the isolated res stack, chain-difference methodology
+(BENCH.md).  Run on the TPU:
+
+    python tools/bench_res_block.py [--batch 8] [--res 128] [--dtype bf16]
+"""
+import argparse
+import functools
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--res", type=int, default=128)
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--chunk-rows", type=int, default=32)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from vst_tpu.kernels.res_block import conv3x3_in_stats
+    from vst_tpu.models import reconet
+
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    params = jax.tree.map(lambda v: jnp.asarray(v, dt), reconet.init_reconet(0))
+    rng = np.random.default_rng(0)
+    b, r = args.batch, args.res
+    x = jnp.asarray(rng.standard_normal((b, r, r, 192)).astype(np.float32),
+                    dtype=dt)
+
+    def stack_xla(params, v):
+        for i in range(1, 6):
+            v = reconet.residual_block(params, f"res{i}", v)
+        return v
+
+    def fused_block(params, name, v):
+        y1, s1 = conv3x3_in_stats(
+            v, params[f"{name}.conv1.conv2d.weight"],
+            params[f"{name}.conv1.conv2d.bias"],
+            chunk_rows=args.chunk_rows)
+        y2, s2 = conv3x3_in_stats(
+            y1, params[f"{name}.conv2.conv2d.weight"],
+            params[f"{name}.conv2.conv2d.bias"],
+            stats_in=s1, gamma=params[f"{name}.in1.weight"],
+            beta=params[f"{name}.in1.bias"], chunk_rows=args.chunk_rows)
+        mean = s2[:, 0][:, None, None, :]
+        var = s2[:, 1][:, None, None, :]
+        g2 = params[f"{name}.in2.weight"].astype(jnp.float32)
+        b2 = params[f"{name}.in2.bias"].astype(jnp.float32)
+        out = (y2.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (out * g2 + b2 + v.astype(jnp.float32)).astype(v.dtype)
+
+    def stack_fused(params, v):
+        for i in range(1, 6):
+            v = fused_block(params, f"res{i}", v)
+        return v
+
+    def chain(fn):
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def run(params, x, n):
+            def body(carry, i):
+                out = fn(params, x + i.astype(x.dtype))
+                return jnp.mean(out.astype(jnp.float32)), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                  jnp.arange(n, dtype=jnp.int32))
+            return acc
+
+        return run
+
+    def timed(run, n):
+        float(run(params, x, n))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(params, x, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    short, long = 8, 40
+    for name, fn in [("xla", stack_xla), ("fused", stack_fused)]:
+        run = chain(fn)
+        dt_s = (timed(run, long) - timed(run, short)) / (long - short)
+        print(f"{name}: {dt_s * 1e3 / b:.3f} ms/frame "
+              f"({dt_s * 1e3:.2f} ms/iter, res stack x5, "
+              f"{args.dtype} b{b} {r}x{r})")
+        # sanity: outputs agree
+    a = np.asarray(jax.jit(stack_xla)(params, x).astype(jnp.float32))
+    c = np.asarray(jax.jit(stack_fused)(params, x).astype(jnp.float32))
+    d = np.abs(a - c).max() / max(np.abs(a).max(), 1e-9)
+    print(f"parity rel max diff: {d:.4g}")
+
+
+if __name__ == "__main__":
+    main()

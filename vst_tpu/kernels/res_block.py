@@ -1,0 +1,151 @@
+"""Fused ReCoNet residual-block stage — Pallas TPU kernel (inference).
+
+One kernel computes, per grid step (image, row-chunk):
+
+    [optional] v = relu(IN(v; stats_in, gamma, beta))    # elementwise prologue
+    y = conv3x3_VALID(v_padded) + bias                   # 9 accumulated MXU matmuls
+    stats_out accumulation (per-image channel sum / sum-of-squares)
+
+so a full residual block (ReCoNet/network.py:136-150: conv→IN→relu→conv→
+IN→add) is two kernel launches plus one fused XLA elementwise tail
+(normalize₂ + residual add).  The IN statistics of each conv output are
+produced in the conv's epilogue instead of a separate full-tensor reduce
+pass, and normalize+relu ride the next conv's prologue instead of a
+full-tensor elementwise pass — saving two HBM round trips of the
+(B, 128², 192) activation per block versus separate ops.
+
+Context (BENCH.md roofline): res×5 is the largest ReCoNet inference stage
+(1.25 ms/frame at 512², 44% MXU).  Every SINGLE-conv reformulation tried in
+rounds 2–3 measured slower than XLA's conv; this is the one untried
+formulation class (VERDICT r3 item 8).  Numerics: bf16 conv outputs and
+f32 statistics, matching the XLA serving path (parity-tested in
+tests/test_kernels.py, interpret mode on CPU + real kernel on TPU).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vst_tpu.ops._precision import matmul_precision
+from vst_tpu.ops.pad import reflection_pad2d
+
+EPS = 1e-5  # torch InstanceNorm2d default (ops/norm.py)
+
+
+def _conv_stats_kernel(xs0_ref, xs1_ref, xs2_ref, stats_ref, g_ref, bt_ref,
+                       w_ref, b_ref, y_ref, so_ref, acc_ref, *,
+                       n_chunks, w_out, hw, normalize_input, precision):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    dtype = y_ref.dtype
+
+    def prep(ref):
+        v = ref[0]
+        if normalize_input:
+            vf = v.astype(jnp.float32)
+            mean = stats_ref[0, 0]                       # (C,)
+            var = stats_ref[0, 1]
+            scale = g_ref[0] * jax.lax.rsqrt(var + EPS)  # (C,)
+            vf = (vf - mean) * scale + bt_ref[0]
+            v = jnp.maximum(vf, 0.0).astype(dtype)
+        return v                                          # (CH, W+2, C)
+
+    x0, x1, x2 = prep(xs0_ref), prep(xs1_ref), prep(xs2_ref)
+    ch = x0.shape[0]
+    co = w_ref.shape[3]
+    acc = jnp.zeros((ch * w_out, co), jnp.float32)
+    for r, slab in enumerate((x0, x1, x2)):
+        for c in range(3):
+            lhs = slab[:, c:c + w_out, :].reshape(ch * w_out, -1)
+            acc += jax.lax.dot_general(
+                lhs, w_ref[r, c], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+    acc += b_ref[0].astype(jnp.float32)
+    acc_ref[0, :] += jnp.sum(acc, axis=0)
+    acc_ref[1, :] += jnp.sum(acc * acc, axis=0)
+    y_ref[0] = acc.reshape(ch, w_out, co).astype(dtype)
+
+    @pl.when(i == n_chunks - 1)
+    def _():
+        mean = acc_ref[0, :] / hw
+        so_ref[0, 0] = mean
+        so_ref[0, 1] = acc_ref[1, :] / hw - mean * mean
+
+
+def conv3x3_in_stats(x, w, b, *, stats_in=None, gamma=None, beta=None,
+                     chunk_rows=32, interpret=False):
+    """(B, H, W, C) → (conv output (B, H, W, Co) in x.dtype,
+    per-image channel (mean, biased var) stats (B, 2, Co) f32).
+
+    When ``stats_in``/``gamma``/``beta`` are given, the input is first
+    normalized (IN with those per-image stats) + ReLU'd elementwise inside
+    the kernel — the res block's middle normalize+relu fused into the
+    second conv's prologue.  Reflect padding happens outside (cheap at the
+    res stage's 128² shapes)."""
+    n, h, wd, c = x.shape
+    co = w.shape[3]
+    normalize = stats_in is not None
+    if not normalize:
+        stats_in = jnp.zeros((n, 2, c), jnp.float32)
+        gamma = jnp.zeros((c,), jnp.float32)
+        beta = jnp.zeros((c,), jnp.float32)
+    xp = reflection_pad2d(x, 1)
+    # three row-shifted slabs (XLA slices — halo blocks are not expressible
+    # in BlockSpec index maps; same approach as kernels/head_conv.py)
+    xs = [xp[:, r:r + h] for r in range(3)]
+    chunk = min(chunk_rows, h)
+    while h % chunk:
+        chunk //= 2
+    n_chunks = h // chunk
+    grid = (n, n_chunks)
+
+    kernel = functools.partial(
+        _conv_stats_kernel, n_chunks=n_chunks, w_out=wd, hw=float(h * wd),
+        normalize_input=normalize, precision=matmul_precision(x.dtype))
+    slab_spec = pl.BlockSpec((1, chunk, wd + 2, c), lambda bi, i: (bi, i, 0, 0))
+    y, stats = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[slab_spec, slab_spec, slab_spec,
+                  pl.BlockSpec((1, 2, c), lambda bi, i: (bi, 0, 0)),
+                  pl.BlockSpec((1, c), lambda bi, i: (0, 0)),
+                  pl.BlockSpec((1, c), lambda bi, i: (0, 0)),
+                  pl.BlockSpec((3, 3, c, co), lambda bi, i: (0, 0, 0, 0)),
+                  pl.BlockSpec((1, co), lambda bi, i: (0, 0))],
+        out_specs=[pl.BlockSpec((1, chunk, wd, co),
+                                lambda bi, i: (bi, i, 0, 0)),
+                   pl.BlockSpec((1, 2, co), lambda bi, i: (bi, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((n, h, wd, co), x.dtype),
+                   jax.ShapeDtypeStruct((n, 2, co), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, co), jnp.float32)],
+        interpret=interpret,
+    )(xs[0], xs[1], xs[2], stats_in, gamma.reshape(1, c).astype(jnp.float32),
+      beta.reshape(1, c).astype(jnp.float32), w, b.reshape(1, co))
+    return y, stats
+
+
+def residual_block_fused(params, name, x, interpret=False):
+    """Fused-kernel twin of models.reconet.residual_block (inference)."""
+    y1, s1 = conv3x3_in_stats(
+        x, params[f"{name}.conv1.conv2d.weight"],
+        params[f"{name}.conv1.conv2d.bias"], interpret=interpret)
+    y2, s2 = conv3x3_in_stats(
+        y1, params[f"{name}.conv2.conv2d.weight"],
+        params[f"{name}.conv2.conv2d.bias"],
+        stats_in=s1, gamma=params[f"{name}.in1.weight"],
+        beta=params[f"{name}.in1.bias"], interpret=interpret)
+    # XLA tail: normalize₂ + residual add (elementwise, fuses into one pass)
+    mean = s2[:, 0][:, None, None, :]
+    var = s2[:, 1][:, None, None, :]
+    g2 = params[f"{name}.in2.weight"].astype(jnp.float32)
+    b2 = params[f"{name}.in2.bias"].astype(jnp.float32)
+    out = (y2.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + EPS)
+    out = out * g2 + b2 + x.astype(jnp.float32)
+    return out.astype(x.dtype)
