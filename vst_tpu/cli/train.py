@@ -67,6 +67,13 @@ def build_parser():
     p.add_argument("--platform", choices=["cpu", "tpu"],
                    help="pin the JAX backend (default: auto; also "
                         "honours VST_PLATFORM)")
+    p.add_argument("--save-every-steps", type=int, default=0, metavar="K",
+                   help="also save the resumable full state every K batches "
+                        "(0 = per-epoch only, the reference's cadence)")
+    p.add_argument("--no-nan-recovery", action="store_true",
+                   help="disable the non-finite-loss rollback (by default a "
+                        "NaN/Inf loss rolls back to the last snapshot and "
+                        "skips the batch, up to 3 times per run)")
     return p
 
 
@@ -244,7 +251,9 @@ def main(argv=None):
         batch_size=cfg.batch_size, epochs=cfg.epochs,
         epoch_start=args.epoch_start, out_dir=args.out_dir,
         model_name=name, seed=args.seed, log_every=args.log_every,
-        loss_plots_dir=args.loss_plots_dir, sharding=sharding)
+        loss_plots_dir=args.loss_plots_dir, sharding=sharding,
+        save_every_steps=args.save_every_steps,
+        recover_nonfinite=not args.no_nan_recovery)
 
 
 if __name__ == "__main__":

@@ -12,6 +12,9 @@ import time
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from vst_tpu.data.pipeline import BatchLoader, device_prefetch
 from vst_tpu.train import checkpoint as ckpt
 from vst_tpu.train.state import TrainState
@@ -56,6 +59,8 @@ def run_training(
     log_fn=print,
     loss_plots_dir: str | None = None,
     save_every_steps: int = 0,
+    recover_nonfinite: bool = True,
+    max_recoveries: int = 3,
 ) -> TrainState:
     """Run ``epochs`` epochs of ``step_fn(state, batch)`` over ``dataset``.
 
@@ -63,8 +68,31 @@ def run_training(
     (``{name}_epoch_{e}_batchSize_{b}``), plus a resumable full-state file.
     ``loss_plots_dir`` writes per-epoch loss-curve PNGs (the RTNSTV
     trainer's matplotlib plots, RTNSTV/train.py:162-175).
+
+    Failure recovery (the reference has none — a NaN'd run trains garbage
+    until someone notices): when ``recover_nonfinite`` is set and a step
+    returns a non-finite loss, the state rolls back to the last in-memory
+    snapshot (epoch start / periodic save), the offending batch is skipped,
+    and training continues — up to ``max_recoveries`` times per run, then
+    raises.  The check piggybacks on the existing ``log_every`` metric
+    fetch, so it adds no extra device syncs on non-logging steps.
     """
+
+    def snapshot_of(s):
+        # host copy + shardings: the step DONATES its state buffers, so a
+        # device reference would be invalidated; shardings restore DP layout
+        return (jax.tree.map(np.asarray, s),
+                jax.tree.map(lambda x: getattr(x, "sharding", None), s))
+
+    def restore(snap):
+        host, shardings = snap
+        try:
+            return jax.device_put(host, shardings)
+        except Exception:
+            return jax.tree.map(jnp.asarray, host)
+
     os.makedirs(out_dir, exist_ok=True)
+    recoveries = 0
     for epoch in range(epoch_start, epochs + 1):
         loader = BatchLoader(dataset, batch_size, shuffle=True,
                              seed=seed + epoch, num_workers=num_workers,
@@ -72,10 +100,30 @@ def run_training(
         n_batches = len(loader)
         t0 = time.time()
         history: dict[str, list] = {}
+        snap = snapshot_of(state) if recover_nonfinite else None
         for i, batch in enumerate(device_prefetch(iter(loader), prefetch,
                                                   sharding)):
+            prev_snap = snap
             state, metrics = step_fn(state, batch)
+            if recover_nonfinite and (
+                    (log_every and (i % log_every == 0 or i == n_batches - 1))
+                    or (save_every_steps
+                        and (i + 1) % save_every_steps == 0)):
+                if not np.isfinite(float(metrics["loss"])):
+                    recoveries += 1
+                    if recoveries > max_recoveries:
+                        raise RuntimeError(
+                            f"non-finite loss at epoch {epoch} batch "
+                            f"{i + 1}: {max_recoveries} recoveries "
+                            f"exhausted")
+                    log_fn(f"epoch {epoch} batch {i + 1}: non-finite loss; "
+                           f"rolled back to last snapshot (recovery "
+                           f"{recoveries}/{max_recoveries})")
+                    state = restore(prev_snap)
+                    continue
             if save_every_steps and (i + 1) % save_every_steps == 0:
+                if recover_nonfinite:
+                    snap = snapshot_of(state)
                 # mid-epoch durability (the reference only saves per epoch
                 # and loses partial progress on failure — SURVEY.md §5.3/5.4)
                 ckpt.save_state(state, os.path.join(
