@@ -80,6 +80,57 @@ class TestFusedAttentionVJP:
                                        rtol=2e-3, atol=2e-3,
                                        err_msg=f"d{name}")
 
+    def test_exp2_forward_and_grads_match(self, rng):
+        """Base-2-domain softmax (exp2=True) agrees with the exp form in
+        both directions — the scale is folded in f32 so only rounding
+        differs."""
+        import jax
+
+        b, n, m, d, c = 1, 200, 260, 48, 32
+        q = _rand(rng, b, n, d)
+        k = _rand(rng, b, m, d)
+        v = _rand(rng, b, m, c)
+        w1 = _rand(rng, b, n, c)
+        w2 = _rand(rng, b, n, c)
+
+        m1e, m2e = _attention_moments_softmax_exact(
+            q, k, v, lax.Precision.HIGHEST)
+        m1p, m2p = softmax_attention_moments_pallas(
+            q, k, v, bq=128, bk=128, interpret=True, exp2=True)
+        np.testing.assert_allclose(np.asarray(m1p), np.asarray(m1e),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(m2p), np.asarray(m2e),
+                                   rtol=1e-4, atol=1e-4)
+
+        def loss(fn):
+            def f(q, k, v):
+                m1, m2 = fn(q, k, v)
+                return jnp.sum(m1 * w1) + jnp.sum(m2 * w2)
+            return f
+
+        ge = jax.grad(loss(lambda q, k, v: _attention_moments_softmax_exact(
+            q, k, v, lax.Precision.HIGHEST)), argnums=(0, 1, 2))(q, k, v)
+        gp = jax.grad(loss(lambda q, k, v: softmax_attention_moments_pallas(
+            q, k, v, bq=128, bk=128, interpret=True, exp2=True)),
+            argnums=(0, 1, 2))(q, k, v)
+        for name, a, bb in zip("qkv", ge, gp):
+            np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                       rtol=2e-3, atol=2e-3,
+                                       err_msg=f"d{name}")
+
+    def test_exp2_extreme_logits_stable(self, rng):
+        q = _rand(rng, 1, 128, 32) * 30
+        k = _rand(rng, 1, 256, 32) * 30
+        v = _rand(rng, 1, 256, 16)
+        m1, m2 = softmax_attention_moments_pallas(
+            q, k, v, bq=128, bk=128, interpret=True, exp2=True)
+        assert np.isfinite(np.asarray(m1)).all()
+        assert np.isfinite(np.asarray(m2)).all()
+        m1e, m2e = _attention_moments_softmax_exact(
+            q, k, v, lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m1e),
+                                   rtol=1e-3, atol=1e-3)
+
     def test_forward_unchanged_by_vjp_wrapper(self, rng):
         q = _rand(rng, 2, 300, 64)
         k = _rand(rng, 2, 520, 64)

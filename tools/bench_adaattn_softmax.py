@@ -2,11 +2,12 @@
 
 VERDICT r3 item 5: the 512² softmax serving path is the slowest in the
 suite (90 fps) and its (bq, bk) default came from a single-point sweep.
-This sweeps blocks at all three attention-level shapes of 512² serving
-(AdaAttN/network.py:223-251: relu3_1/4_1/5_1 with multi-scale Q/K), then
-times the full serving dispatch with the winner.
+This sweeps (bq, bk) blocks at the attention-level shapes of 512² serving
+(AdaAttN/network.py:223-251: relu3_1/4_1/5_1 with multi-scale Q/K) and
+prints the best per level; confirm end-to-end with
+``bench.py --path adaattn-softmax-512`` after updating the kernel default.
 
-    python tools/bench_adaattn_softmax.py [--batch 2] [--sweep-only]
+    python tools/bench_adaattn_softmax.py [--batch 2] [--levels relu3_1 ...]
 """
 import argparse
 import functools
@@ -43,6 +44,8 @@ def main():
     p.add_argument("--levels", nargs="*", default=["relu3_1"])
     p.add_argument("--blocks", nargs="*", type=int,
                    default=[256, 512, 1024, 2048])
+    p.add_argument("--exp2", action="store_true",
+                   help="base-2-domain softmax (kernel exp2=True)")
     args = p.parse_args()
 
     import jax
@@ -75,7 +78,8 @@ def main():
             def run(q, k, v, nst, bq=bq, bk=bk):
                 def body(acc, i):
                     m1, m2 = softmax_attention_moments_pallas(
-                        q + i.astype(q.dtype), k, v, bq=bq, bk=bk)
+                        q + i.astype(q.dtype), k, v, bq=bq, bk=bk,
+                        exp2=args.exp2)
                     return acc + jnp.mean(m1.astype(jnp.float32)) \
                         + jnp.mean(m2.astype(jnp.float32)), None
 

@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from vst_tpu.ops._precision import matmul_precision
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # log2(e): exp(x) == exp2(x * LOG2E)
 
 
 def _dot(a, b, precision, trans_a=False, trans_b=False):
@@ -46,7 +47,7 @@ def _dot(a, b, precision, trans_a=False, trans_b=False):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o1_ref, o2_ref, lse_ref,
                 mi_ref, li_ref, a1_ref, a2_ref, *, nk, m_actual, bk,
-                precision):
+                precision, exp2):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -60,14 +61,20 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o1_ref, o2_ref, lse_ref,
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
 
+    if exp2:
+        # base-2 domain: exp(s) == exp2(s·log2e); fold the scale into the
+        # f32 q block (bq·d mults) so the (bq·bk) score grid pays only the
+        # cheaper pow2 VPU op.  mi/li/lse then live in the base-2 domain.
+        q = q * LOG2E
+    e = jnp.exp2 if exp2 else jnp.exp
     s = _dot(q, k, precision, trans_b=True)              # (bq, bk)
     key_idx = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(key_idx < m_actual, s, NEG_INF)
 
     m_prev = mi_ref[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = e(s - m_new)
+    alpha = e(m_prev - m_new)
 
     li_ref[:] = li_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     a1_ref[:] = a1_ref[:] * alpha + _dot(p, v, precision)
@@ -79,7 +86,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o1_ref, o2_ref, lse_ref,
         inv = 1.0 / li_ref[:]
         o1_ref[0] = (a1_ref[:] * inv).astype(o1_ref.dtype)
         o2_ref[0] = (a2_ref[:] * inv).astype(o2_ref.dtype)
-        lse_ref[0] = mi_ref[:] + jnp.log(li_ref[:])
+        log = jnp.log2 if exp2 else jnp.log
+        lse_ref[0] = mi_ref[:] + log(li_ref[:])
 
 
 def _pad_to(x, axis, mult):
@@ -92,7 +100,7 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
-def _forward(q, k, v, bq, bk, interpret):
+def _forward(q, k, v, bq, bk, interpret, exp2):
     b, n, d = q.shape
     m = k.shape[1]
     c = v.shape[2]
@@ -103,7 +111,8 @@ def _forward(q, k, v, bq, bk, interpret):
     nk = kp.shape[1] // bk
 
     kernel = functools.partial(_fwd_kernel, nk=nk, m_actual=m, bk=bk,
-                               precision=matmul_precision(q.dtype))
+                               precision=matmul_precision(q.dtype),
+                               exp2=exp2)
     o1, o2, lse = pl.pallas_call(
         kernel,
         grid=(b, nq, nk),
@@ -140,7 +149,7 @@ def _forward(q, k, v, bq, bk, interpret):
 # ---------------------------------------------------------------- backward
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, dm1_ref, dm2_ref, lse_ref, dd_ref,
-                   dq_ref, acc_ref, *, nk, m_actual, bk, precision):
+                   dq_ref, acc_ref, *, nk, m_actual, bk, precision, exp2):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -152,13 +161,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, dm1_ref, dm2_ref, lse_ref, dd_ref,
     v = v_ref[0].astype(jnp.float32)
     dm1 = dm1_ref[0].astype(jnp.float32)
     dm2 = dm2_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]          # (bq, 1)
+    lse = lse_ref[0]          # (bq, 1); base-2 domain when exp2
     dd = dd_ref[0]            # (bq, 1)
 
-    s = _dot(q, k, precision, trans_b=True)
+    qs = q * LOG2E if exp2 else q
+    s = _dot(qs, k, precision, trans_b=True)
     key_idx = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(key_idx < m_actual, s, NEG_INF)
-    a = jnp.exp(s - lse)
+    a = jnp.exp2(s - lse) if exp2 else jnp.exp(s - lse)
     da = _dot(dm1, v, precision, trans_b=True) \
         + _dot(dm2, v * v, precision, trans_b=True)
     ds = a * (da - dd)
@@ -171,7 +181,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, dm1_ref, dm2_ref, lse_ref, dd_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, dm1_ref, dm2_ref, lse_ref, dd_ref,
                     dk_ref, dv_ref, dk_acc, dv1_acc, dv2_acc,
-                    *, nq, m_actual, bk, precision):
+                    *, nq, m_actual, bk, precision, exp2):
     i = pl.program_id(2)
 
     @pl.when(i == 0)
@@ -185,14 +195,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, dm1_ref, dm2_ref, lse_ref, dd_ref,
     v = v_ref[0].astype(jnp.float32)
     dm1 = dm1_ref[0].astype(jnp.float32)
     dm2 = dm2_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]          # (bq, 1)
+    lse = lse_ref[0]          # (bq, 1); base-2 domain when exp2
     dd = dd_ref[0]            # (bq, 1)
 
     kj = pl.program_id(1)
-    s = _dot(q, k, precision, trans_b=True)              # (bq, bk)
+    qs = q * LOG2E if exp2 else q
+    s = _dot(qs, k, precision, trans_b=True)             # (bq, bk)
     key_idx = kj * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(key_idx < m_actual, s, NEG_INF)
-    a = jnp.exp(s - lse)
+    a = jnp.exp2(s - lse) if exp2 else jnp.exp(s - lse)
     da = _dot(dm1, v, precision, trans_b=True) \
         + _dot(dm2, v * v, precision, trans_b=True)
     ds = a * (da - dd)
@@ -207,7 +218,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, dm1_ref, dm2_ref, lse_ref, dd_ref,
         dv_ref[0] = (dv1_acc[:] + 2.0 * v * dv2_acc[:]).astype(dv_ref.dtype)
 
 
-def _backward(res, grads, bq, bk, interpret):
+def _backward(res, grads, bq, bk, interpret, exp2):
     q, k, v, o1, o2, lse = res
     dm1, dm2 = grads
     b, n, d = q.shape
@@ -244,7 +255,7 @@ def _backward(res, grads, bq, bk, interpret):
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, nk=nk, m_actual=m, bk=bk,
-                          precision=prec),
+                          precision=prec, exp2=exp2),
         grid=(b, nq, nk),
         in_specs=[q_spec_q, k_spec_q, v_spec_q, dm_spec_q, dm_spec_q,
                   row_spec_q, row_spec_q],
@@ -263,7 +274,7 @@ def _backward(res, grads, bq, bk, interpret):
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, nq=nq, m_actual=m, bk=bk,
-                          precision=prec),
+                          precision=prec, exp2=exp2),
         grid=(b, nk, nq),
         in_specs=[q_spec_k, k_spec_k, v_spec_k, dm_spec_k, dm_spec_k,
                   row_spec_k, row_spec_k],
@@ -288,30 +299,32 @@ def _backward(res, grads, bq, bk, interpret):
 
 # ------------------------------------------------------------- public API
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _moments(q, k, v, bq, bk, interpret):
-    o1, o2, _ = _forward(q, k, v, bq, bk, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _moments(q, k, v, bq, bk, interpret, exp2):
+    o1, o2, _ = _forward(q, k, v, bq, bk, interpret, exp2)
     n = q.shape[1]
     return o1[:, :n], o2[:, :n]
 
 
-def _moments_fwd(q, k, v, bq, bk, interpret):
-    o1, o2, lse = _forward(q, k, v, bq, bk, interpret)
+def _moments_fwd(q, k, v, bq, bk, interpret, exp2):
+    o1, o2, lse = _forward(q, k, v, bq, bk, interpret, exp2)
     n = q.shape[1]
     out = (o1[:, :n], o2[:, :n])
     return out, (q, k, v, out[0], out[1], lse[:, :n])
 
 
-def _moments_bwd(bq, bk, interpret, res, grads):
-    return _backward(res, grads, bq, bk, interpret)
+def _moments_bwd(bq, bk, interpret, exp2, res, grads):
+    return _backward(res, grads, bq, bk, interpret, exp2)
 
 
 _moments.defvjp(_moments_fwd, _moments_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("bq", "bk", "interpret", "exp2"))
 def softmax_attention_moments_pallas(q, k, v, bq: int = 1024, bk: int = 512,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     exp2: bool = False):
     """q: (b, n, d), k: (b, m, d), v: (b, m, c) → (M1, M2) each (b, n, c).
 
     Matches ``_attention_moments_softmax_exact`` numerics to fp32 rounding;
@@ -320,5 +333,11 @@ def softmax_attention_moments_pallas(q, k, v, bq: int = 1024, bk: int = 512,
     Default blocks from an on-chip sweep at the 512² relu3_1 shape
     (b2, n=m=16384, d=448, c=256): (1024, 512) ran 34.1 ms vs 37.2 ms for
     the previous (256, 512); tall q blocks amortize the k/v reload.
+
+    ``exp2=True`` evaluates the softmax in the base-2 domain (scores scaled
+    by log2(e) via the q block, ``exp2``/``log2`` in place of ``exp``/
+    ``log``) — a candidate win when the kernel is VPU-exp-bound; numerics
+    agree to f32 rounding (the scale is folded in f32, not into the bf16
+    inputs).
     """
-    return _moments(q, k, v, bq, bk, interpret)
+    return _moments(q, k, v, bq, bk, interpret, exp2)
