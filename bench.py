@@ -494,6 +494,7 @@ def _run(names):
 # each attempt must run in a FRESH subprocess.
 _RETRY_DELAYS_S = (20, 60, 120, 240, 480, 600)  # ~25 min total backoff
 _ATTEMPT_TIMEOUT_S = 2400  # cold server-side compiles take minutes
+_WEDGE_S = 1500  # device-lease wedge after a SIGKILLed client (CLAUDE.md)
 
 
 def main(argv=None):
@@ -518,11 +519,17 @@ def main(argv=None):
            "--path", args.path, "--inner"]
     delays = (0,) + _RETRY_DELAYS_S
     last_rc = 1
+    killed_last = False
     for i, delay in enumerate(delays):
+        if killed_last:
+            # the SIGKILL below wedges the device lease for ~25 min;
+            # retrying sooner burns attempts against a guaranteed failure
+            delay = max(delay, _WEDGE_S)
         if delay:
             print(f"# bench attempt {i} failed (rc={last_rc}); "
                   f"retrying in {delay}s", file=sys.stderr, flush=True)
             time.sleep(delay)
+        killed_last = False
         proc = subprocess.Popen(
             cmd, stdout=subprocess.PIPE,
             cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -538,6 +545,7 @@ def main(argv=None):
             except subprocess.TimeoutExpired:
                 proc.kill()
                 out, _ = proc.communicate()
+                killed_last = True
             last_rc = "timeout"
             sys.stderr.write(out.decode(errors="replace"))
             continue

@@ -57,6 +57,29 @@ class TestRoundTrips:
         again = ckpt.load_state(path, like=like)
         assert int(again.step) == int(state.step) + 1
 
+    def test_crash_mid_swap_prefers_completed_new(self, tmp_path):
+        """A kill between writing <path>.new and swapping it in must not
+        lose progress: load_state prefers the completed .new directory, and
+        the old checkpoint is never deleted before the new one exists."""
+        import shutil
+
+        opt = make_optimizer(1e-3)
+        state = create(reconet.init_reconet_sd2(KEY), opt)
+        like = create(reconet.init_reconet_sd2(jax.random.PRNGKey(3)), opt)
+        path = str(tmp_path / "last_state")
+        ckpt.save_state(state, path)
+        # simulate the crash window: a newer completed save sitting at .new
+        newer = state._replace(step=state.step + 7)
+        ckpt.save_state(newer, str(tmp_path / "staging"))
+        shutil.move(str(tmp_path / "staging"), path + ".new")
+        loaded = ckpt.load_state(path, like=like)
+        assert int(loaded.step) == int(state.step) + 7
+        # the next save supersedes the leftover .new and swaps cleanly
+        ckpt.save_state(newer._replace(step=newer.step + 1), path)
+        assert not os.path.isdir(path + ".new")
+        again = ckpt.load_state(path, like=like)
+        assert int(again.step) == int(state.step) + 8
+
     def test_full_state_pickle(self, tmp_path):
         opt = make_optimizer(1e-3)
         state = create(reconet.init_reconet_sd2(KEY), opt)

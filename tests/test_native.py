@@ -212,3 +212,41 @@ class TestNativeVideo:
         p = tmp_path / "not_a_video.avi"
         p.write_bytes(b"this is not RIFF data at all....")
         assert video_native.open_video(str(p)) is None
+
+
+class TestNativeVideoLoader:
+    def test_shipped_binary_without_source_is_fresh(self, tmp_path,
+                                                    monkeypatch):
+        """Binary-only deployments (no vstvideo.cc next to the .so) must
+        load the shipped library rather than silently falling back to
+        cv2."""
+        from vst_tpu.data import video_native as vn
+
+        so = tmp_path / "libvstvideo.so"
+        so.write_bytes(b"\x7fELF-stub")
+        monkeypatch.setattr(vn, "_LIB_PATH", str(so))
+        monkeypatch.setattr(vn, "_SRC_PATH", str(tmp_path / "vstvideo.cc"))
+        assert vn._fresh()
+
+    def test_stale_binary_next_to_newer_source(self, tmp_path, monkeypatch):
+        import os
+        import time
+
+        from vst_tpu.data import video_native as vn
+
+        so = tmp_path / "libvstvideo.so"
+        cc = tmp_path / "vstvideo.cc"
+        so.write_bytes(b"x")
+        cc.write_text("// newer")
+        old = time.time() - 100
+        os.utime(so, (old, old))
+        monkeypatch.setattr(vn, "_LIB_PATH", str(so))
+        monkeypatch.setattr(vn, "_SRC_PATH", str(cc))
+        assert not vn._fresh()
+
+    def test_missing_binary_not_fresh(self, tmp_path, monkeypatch):
+        from vst_tpu.data import video_native as vn
+
+        monkeypatch.setattr(vn, "_LIB_PATH", str(tmp_path / "nope.so"))
+        monkeypatch.setattr(vn, "_SRC_PATH", str(tmp_path / "nope.cc"))
+        assert not vn._fresh()

@@ -72,6 +72,34 @@ def test_gives_up_after_max_recoveries(tmp_path):
             max_recoveries=2, model_name="toy")
 
 
+def test_last_batch_nan_never_persisted(tmp_path, capsys):
+    """log_every=0 and no periodic saves: the guard must still check the
+    epoch's last batch so the epoch-end checkpoint can't contain NaN."""
+    final = run_training(
+        _poisoning_step({3}), _state(), _Dataset(8), batch_size=2,
+        epochs=1, out_dir=str(tmp_path), export_pth=False, log_every=0,
+        num_workers=0, model_name="toy")
+    assert "rolled back" in capsys.readouterr().out
+    assert np.all(np.isfinite(np.asarray(final.params["w"])))
+    from vst_tpu.train.checkpoint import load_state
+    saved = load_state(str(tmp_path / "toy_last_state"), like=_state())
+    assert np.all(np.isfinite(np.asarray(saved.params["w"])))
+
+
+def test_periodic_save_survives_rollback_and_is_crash_safe(tmp_path):
+    """save_every_steps snapshots feed both the rollback and the periodic
+    orbax save; a poisoned mid-epoch step must leave a loadable, finite
+    last_state."""
+    final = run_training(
+        _poisoning_step({2}), _state(), _Dataset(8), batch_size=2,
+        epochs=1, out_dir=str(tmp_path), export_pth=False, log_every=0,
+        num_workers=0, save_every_steps=1, model_name="toy")
+    from vst_tpu.train.checkpoint import load_state
+    saved = load_state(str(tmp_path / "toy_last_state"), like=_state())
+    assert np.all(np.isfinite(np.asarray(saved.params["w"])))
+    assert np.all(np.isfinite(np.asarray(final.params["w"])))
+
+
 def test_guard_disabled_passes_nan_through(tmp_path):
     final = run_training(
         _poisoning_step({1}), _state(), _Dataset(4), batch_size=2,

@@ -44,13 +44,15 @@ def build_parser():
     p.add_argument("--lr", type=float)
     p.add_argument("--img-size", type=int, nargs=2, metavar=("H", "W"))
     p.add_argument("--epoch-start", type=int, default=1)
-    p.add_argument("--resume", metavar="STATE_PKL",
-                   help="resume from a *_last_state.pkl (params + Adam "
-                        "moments + step); combine with --epoch-start. "
-                        "'auto' = resume from <out-dir>/<name>_last_state.pkl "
-                        "when it exists (epoch derived from the saved step), "
-                        "start fresh otherwise — an idempotent restart-after-"
-                        "crash entry point")
+    p.add_argument("--resume", metavar="STATE",
+                   help="resume from a *_last_state checkpoint (orbax "
+                        "directory, the default format; legacy .pkl files "
+                        "also load) holding params + Adam moments + step; "
+                        "combine with --epoch-start. 'auto' = resume from "
+                        "<out-dir>/<name>_last_state when it exists (epoch "
+                        "derived from the saved step), start fresh "
+                        "otherwise — an idempotent restart-after-crash "
+                        "entry point")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--loss-plots-dir",
@@ -209,9 +211,10 @@ def main(argv=None):
 
         path = args.resume
         if path == "auto":
-            # orbax directory (current default), then the legacy pickle
+            # orbax directory (current default; load_state also picks up a
+            # completed-but-unswapped <path>.new), then the legacy pickle
             path = os.path.join(args.out_dir, name + "_last_state")
-            if not os.path.isdir(path):
+            if not os.path.isdir(path) and not os.path.isdir(path + ".new"):
                 legacy = path + ".pkl"
                 if os.path.exists(legacy):
                     path = legacy

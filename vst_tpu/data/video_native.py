@@ -23,31 +23,51 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libvstvideo.so")
 _SRC_PATH = os.path.join(_NATIVE_DIR, "vstvideo.cc")
 _lib = None
-_load_failed = False
+_build_attempted = False
+_BUILD_LOCK = "/tmp/vstvideo_build.lock"
+
+
+def _fresh() -> bool:
+    """True when libvstvideo.so exists and is usable.
+
+    A .so shipped WITHOUT its source (install-time build, binary-only
+    deployment) counts as fresh; only a binary that is demonstrably older
+    than an edited vstvideo.cc sitting next to it is stale (it would load
+    silently with outdated behavior)."""
+    if not os.path.exists(_LIB_PATH):
+        return False
+    try:
+        src_mtime = os.path.getmtime(_SRC_PATH)
+    except OSError:
+        return True  # no source to be stale against
+    return os.path.getmtime(_LIB_PATH) >= src_mtime
 
 
 def _ensure_fresh() -> bool:
-    """True when libvstvideo.so exists and is at least as new as its source.
-
-    The .so is not version-controlled (built by make/Dockerfile); a stale
-    binary next to an edited vstvideo.cc would otherwise load silently.
-    One quiet rebuild attempt; on failure we warn and fall back to cv2.
-    """
-    def fresh():
-        try:
-            return (os.path.getmtime(_LIB_PATH)
-                    >= os.path.getmtime(_SRC_PATH))
-        except OSError:
-            return False
-
-    if fresh():
+    """One quiet rebuild attempt (serialized across processes via a lock
+    file so concurrent builders can't hand a third process a partially
+    written ELF); on failure warn and fall back to cv2."""
+    global _build_attempted
+    if _fresh():
         return True
+    if _build_attempted or not os.path.exists(_SRC_PATH):
+        return False
+    _build_attempted = True
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR, "libvstvideo.so"],
-                       capture_output=True, timeout=120, check=False)
+        import fcntl
+
+        with open(_BUILD_LOCK, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                if not _fresh():  # another process may have just built it
+                    subprocess.run(
+                        ["make", "-C", _NATIVE_DIR, "libvstvideo.so"],
+                        capture_output=True, timeout=120, check=False)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
     except Exception:
         pass
-    if fresh():
+    if _fresh():
         return True
     if os.path.exists(_LIB_PATH):
         warnings.warn("native/libvstvideo.so is older than vstvideo.cc and "
@@ -57,13 +77,33 @@ def _ensure_fresh() -> bool:
 
 
 def _load():
-    global _lib, _load_failed
-    if _lib is not None or _load_failed:
+    global _lib
+    if _lib is not None:
         return _lib
+    # cheap stat-only recheck each call: the library may appear later in
+    # the process lifetime (built by another process); only the expensive
+    # `make` attempt is one-shot
     if not _ensure_fresh():
-        _load_failed = True
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    # shared lock: don't dlopen while another process's make is rewriting
+    # the .so in place
+    try:
+        import fcntl
+
+        lock = open(_BUILD_LOCK, "w")
+    except OSError:
+        lock = None
+    if lock is None:
+        lib = ctypes.CDLL(_LIB_PATH)
+    else:
+        try:
+            fcntl.flock(lock, fcntl.LOCK_SH)
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+        finally:
+            lock.close()
     lib.vstvideo_open.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]

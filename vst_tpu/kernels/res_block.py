@@ -131,16 +131,18 @@ def conv3x3_in_stats(x, w, b, *, stats_in=None, gamma=None, beta=None,
     return y, stats
 
 
-def residual_block_fused(params, name, x, interpret=False):
+def residual_block_fused(params, name, x, chunk_rows=32, interpret=False):
     """Fused-kernel twin of models.reconet.residual_block (inference)."""
     y1, s1 = conv3x3_in_stats(
         x, params[f"{name}.conv1.conv2d.weight"],
-        params[f"{name}.conv1.conv2d.bias"], interpret=interpret)
+        params[f"{name}.conv1.conv2d.bias"],
+        chunk_rows=chunk_rows, interpret=interpret)
     y2, s2 = conv3x3_in_stats(
         y1, params[f"{name}.conv2.conv2d.weight"],
         params[f"{name}.conv2.conv2d.bias"],
         stats_in=s1, gamma=params[f"{name}.in1.weight"],
-        beta=params[f"{name}.in1.bias"], interpret=interpret)
+        beta=params[f"{name}.in1.bias"],
+        chunk_rows=chunk_rows, interpret=interpret)
     # XLA tail: normalize₂ + residual add (elementwise, fuses into one pass)
     mean = s2[:, 0][:, None, None, :]
     var = s2[:, 1][:, None, None, :]

@@ -70,6 +70,12 @@ def load_state(path: str, like: TrainState | None = None) -> TrainState:
     structure — pass a freshly ``create``d TrainState); a file is a pickle,
     either the versioned form or the raw pytree rounds ≤3 wrote.
     """
+    # a completed-but-unswapped save (crash between write and swap in
+    # save_state_orbax) is newer than ``path`` itself — prefer it.  orbax
+    # only renames a directory into place once it is complete, so an
+    # existing ``.new`` directory is always a whole checkpoint.
+    if os.path.isdir(path + ".new"):
+        return load_state_orbax(path + ".new", like)
     if os.path.isdir(path):
         return load_state_orbax(path, like)
     with open(path, "rb") as f:
@@ -120,14 +126,29 @@ def partial_init_from(params: dict, donor: dict) -> dict:
 
 def save_state_orbax(state: TrainState, path: str) -> None:
     """Orbax-backed full-state checkpoint directory (atomic; the default
-    ``save_state`` format).  Versioned via a wrapper leaf.  ``force=True``
-    so periodic mid-epoch saves overwrite in place."""
+    ``save_state`` format).  Versioned via a wrapper leaf.
+
+    Overwrites are crash-safe: the new checkpoint is written next to the
+    old one (``<path>.new``) and swapped in only once complete, so a kill
+    during a periodic mid-epoch save can never destroy the only resumable
+    state (orbax ``force=True`` deletes the target BEFORE writing).
+    ``load_state`` prefers a completed ``.new`` left by a crash mid-swap.
+    """
+    import shutil
+
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)
+    new = path + ".new"
+    if os.path.isdir(new):  # superseded leftover from a crashed swap
+        shutil.rmtree(new)
     wrapped = {"format_version": np.array(STATE_VERSION, np.int32),
                "state": _to_numpy_tree(state)}
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.abspath(path), wrapped, force=True)
+        ckptr.save(new, wrapped)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.replace(new, path)
 
 
 def load_state_orbax(path: str, like: TrainState | None) -> TrainState:

@@ -74,8 +74,10 @@ def run_training(
     returns a non-finite loss, the state rolls back to the last in-memory
     snapshot (epoch start / periodic save), the offending batch is skipped,
     and training continues — up to ``max_recoveries`` times per run, then
-    raises.  The check piggybacks on the existing ``log_every`` metric
-    fetch, so it adds no extra device syncs on non-logging steps.
+    raises.  The check runs before every persist point (periodic saves and
+    each epoch's last batch) so non-finite state is never checkpointed, and
+    additionally at the ``log_every`` cadence (where it piggybacks on the
+    metric fetch the logging already pays for).
     """
 
     def snapshot_of(s):
@@ -103,12 +105,16 @@ def run_training(
         snap = snapshot_of(state) if recover_nonfinite else None
         for i, batch in enumerate(device_prefetch(iter(loader), prefetch,
                                                   sharding)):
-            prev_snap = snap
             state, metrics = step_fn(state, batch)
+            is_save = bool(save_every_steps
+                           and (i + 1) % save_every_steps == 0)
+            # check before every persist point (periodic saves AND the
+            # epoch's last batch, whose state the epoch-end save writes) so
+            # a non-finite state is never checkpointed, plus the logging
+            # cadence for earlier detection
             if recover_nonfinite and (
-                    (log_every and (i % log_every == 0 or i == n_batches - 1))
-                    or (save_every_steps
-                        and (i + 1) % save_every_steps == 0)):
+                    is_save or i == n_batches - 1
+                    or (log_every and i % log_every == 0)):
                 if not np.isfinite(float(metrics["loss"])):
                     recoveries += 1
                     if recoveries > max_recoveries:
@@ -119,15 +125,21 @@ def run_training(
                     log_fn(f"epoch {epoch} batch {i + 1}: non-finite loss; "
                            f"rolled back to last snapshot (recovery "
                            f"{recoveries}/{max_recoveries})")
-                    state = restore(prev_snap)
+                    state = restore(snap)
                     continue
-            if save_every_steps and (i + 1) % save_every_steps == 0:
-                if recover_nonfinite:
-                    snap = snapshot_of(state)
+            if is_save:
                 # mid-epoch durability (the reference only saves per epoch
                 # and loses partial progress on failure — SURVEY.md §5.3/5.4)
-                ckpt.save_state(state, os.path.join(
-                    out_dir, model_name + "_last_state"))
+                if recover_nonfinite:
+                    # one device→host fetch serves both the rollback
+                    # snapshot and the save (save_state's np.asarray is a
+                    # no-op on numpy leaves)
+                    snap = snapshot_of(state)
+                    ckpt.save_state(snap[0], os.path.join(
+                        out_dir, model_name + "_last_state"))
+                else:
+                    ckpt.save_state(state, os.path.join(
+                        out_dir, model_name + "_last_state"))
             if log_every and (i % log_every == 0 or i == n_batches - 1):
                 vals = {k: float(v) for k, v in metrics.items()}
                 for k, v in vals.items():
