@@ -7,12 +7,15 @@ non-finite loss at the logging cadence, rolls back, skips the batch, and
 gives up loudly after max_recoveries.
 """
 
+import os
+import signal
+
 import numpy as np
 import pytest
 
 import jax.numpy as jnp
 
-from vst_tpu.train.loop import run_training
+from vst_tpu.train.loop import TrainingPreempted, run_training
 from vst_tpu.train.state import TrainState
 
 
@@ -98,6 +101,82 @@ def test_periodic_save_survives_rollback_and_is_crash_safe(tmp_path):
     saved = load_state(str(tmp_path / "toy_last_state"), like=_state())
     assert np.all(np.isfinite(np.asarray(saved.params["w"])))
     assert np.all(np.isfinite(np.asarray(final.params["w"])))
+
+
+def _preempting_step(signal_at, poison_steps=()):
+    """Like _poisoning_step, but also raises SIGUSR1 against this process
+    on global step ``signal_at`` — simulating a preemption notice arriving
+    while the step is in flight."""
+
+    def step(state, batch):
+        k = int(state.step)
+        if k == signal_at:
+            os.kill(os.getpid(), signal.SIGUSR1)
+        bad = jnp.float32(jnp.nan) if k in poison_steps else jnp.float32(0.0)
+        params = {"w": state.params["w"] + 1.0 + bad}
+        new = TrainState(params=params, opt_state=(), step=state.step + 1)
+        return new, {"loss": jnp.sum(params["w"])}
+
+    return step
+
+
+def test_preemption_checkpoints_and_raises(tmp_path):
+    """SIGTERM/SIGUSR1 mid-run → finish the in-flight step, write the
+    resumable last_state, raise TrainingPreempted (TPU VMs preempt with
+    SIGTERM; the reference loses the whole epoch)."""
+    with pytest.raises(TrainingPreempted) as exc:
+        run_training(
+            _preempting_step(signal_at=1), _state(), _Dataset(8),
+            batch_size=2, epochs=1, out_dir=str(tmp_path),
+            export_pth=False, log_every=0, num_workers=0, model_name="toy")
+    from vst_tpu.train.checkpoint import load_state
+    saved = load_state(str(tmp_path / "toy_last_state"), like=_state())
+    # the in-flight step (global step 1 → step counter 2) completed and
+    # was persisted: resume loses nothing
+    assert int(saved.step) == 2
+    assert np.allclose(np.asarray(saved.params["w"]), 2.0)
+    assert int(exc.value.state.step) == 2
+
+
+def test_preemption_never_persists_nonfinite(tmp_path):
+    """A preemption landing on a diverged step must checkpoint the last
+    known-good snapshot, not the NaN state."""
+    with pytest.raises(TrainingPreempted):
+        run_training(
+            _preempting_step(signal_at=2, poison_steps={2}), _state(),
+            _Dataset(8), batch_size=2, epochs=1, out_dir=str(tmp_path),
+            export_pth=False, log_every=0, num_workers=0, model_name="toy")
+    from vst_tpu.train.checkpoint import load_state
+    saved = load_state(str(tmp_path / "toy_last_state"), like=_state())
+    assert np.all(np.isfinite(np.asarray(saved.params["w"])))
+
+
+def test_signal_handlers_restored_after_run(tmp_path):
+    before_term = signal.getsignal(signal.SIGTERM)
+    before_usr1 = signal.getsignal(signal.SIGUSR1)
+    run_training(
+        _poisoning_step(set()), _state(), _Dataset(4), batch_size=2,
+        epochs=1, out_dir=str(tmp_path), export_pth=False, log_every=0,
+        num_workers=0, model_name="toy")
+    assert signal.getsignal(signal.SIGTERM) is before_term
+    assert signal.getsignal(signal.SIGUSR1) is before_usr1
+
+
+def test_preemption_handler_can_be_disabled(tmp_path):
+    """handle_preemption=False leaves signals to their previous
+    disposition (here: a recording handler installed by the test)."""
+    hits = []
+    prev = signal.signal(signal.SIGUSR1, lambda s, f: hits.append(s))
+    try:
+        final = run_training(
+            _preempting_step(signal_at=1), _state(), _Dataset(8),
+            batch_size=2, epochs=1, out_dir=str(tmp_path),
+            export_pth=False, log_every=0, num_workers=0,
+            model_name="toy", handle_preemption=False)
+    finally:
+        signal.signal(signal.SIGUSR1, prev)
+    assert hits == [signal.SIGUSR1]
+    assert int(final.step) == 4  # ran to completion
 
 
 def test_guard_disabled_passes_nan_through(tmp_path):

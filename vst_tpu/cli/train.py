@@ -16,7 +16,7 @@ from vst_tpu.models import adaattn, reconet, rtnstv
 from vst_tpu.train import config as C
 from vst_tpu.train import steps
 from vst_tpu.train.checkpoint import partial_init_from
-from vst_tpu.train.loop import run_training
+from vst_tpu.train.loop import TrainingPreempted, run_training
 from vst_tpu.train.state import create, make_optimizer
 
 TRAINERS = (
@@ -249,14 +249,20 @@ def main(argv=None):
         print(f"data-parallel over {n_dev} devices "
               f"({cfg.batch_size // n_dev} samples/device)")
 
-    run_training(
-        step, state, dataset,
-        batch_size=cfg.batch_size, epochs=cfg.epochs,
-        epoch_start=args.epoch_start, out_dir=args.out_dir,
-        model_name=name, seed=args.seed, log_every=args.log_every,
-        loss_plots_dir=args.loss_plots_dir, sharding=sharding,
-        save_every_steps=args.save_every_steps,
-        recover_nonfinite=not args.no_nan_recovery)
+    try:
+        run_training(
+            step, state, dataset,
+            batch_size=cfg.batch_size, epochs=cfg.epochs,
+            epoch_start=args.epoch_start, out_dir=args.out_dir,
+            model_name=name, seed=args.seed, log_every=args.log_every,
+            loss_plots_dir=args.loss_plots_dir, sharding=sharding,
+            save_every_steps=args.save_every_steps,
+            recover_nonfinite=not args.no_nan_recovery)
+    except TrainingPreempted as e:
+        # clean exit: the resumable checkpoint is on disk; a supervisor
+        # restarts this same command with --resume auto
+        print(f"preempted: {e}")
+        raise SystemExit(0)
 
 
 if __name__ == "__main__":

@@ -8,6 +8,7 @@ export), and metric logging.
 """
 
 import os
+import signal
 import time
 
 import numpy as np
@@ -40,6 +41,19 @@ def _save_loss_plot(history, out_dir, name, epoch, batch_size):
     plt.close()
 
 
+class TrainingPreempted(RuntimeError):
+    """Raised by ``run_training`` after a clean preemption checkpoint.
+
+    Carries the last ``TrainState`` as ``.state``; the resumable
+    ``*_last_state`` checkpoint has already been written when this is
+    raised, so a supervisor can simply restart with ``--resume auto``.
+    """
+
+    def __init__(self, msg, state):
+        super().__init__(msg)
+        self.state = state
+
+
 def run_training(
     step_fn,
     state: TrainState,
@@ -61,6 +75,7 @@ def run_training(
     save_every_steps: int = 0,
     recover_nonfinite: bool = True,
     max_recoveries: int = 3,
+    handle_preemption: bool = True,
 ) -> TrainState:
     """Run ``epochs`` epochs of ``step_fn(state, batch)`` over ``dataset``.
 
@@ -78,6 +93,14 @@ def run_training(
     each epoch's last batch) so non-finite state is never checkpointed, and
     additionally at the ``log_every`` cadence (where it piggybacks on the
     metric fetch the logging already pays for).
+
+    Preemption safety (``handle_preemption``): TPU VMs are routinely
+    preempted with SIGTERM and a short grace period.  On SIGTERM/SIGUSR1
+    the loop finishes the in-flight step, writes the resumable
+    ``*_last_state`` checkpoint (rolling back first if that step's loss is
+    non-finite), and raises :class:`TrainingPreempted` — a supervisor
+    restarts with ``--resume auto`` and loses at most one step.  Handlers
+    are installed only in the main thread and restored on exit.
     """
 
     def snapshot_of(s):
@@ -93,7 +116,54 @@ def run_training(
         except Exception:
             return jax.tree.map(jnp.asarray, host)
 
+    stop = {"sig": None}
+    prev_handlers = {}
+    if handle_preemption:
+        def _on_signal(signum, frame):
+            stop["sig"] = signum
+
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+            except (ValueError, OSError):
+                pass  # not the main thread — run without the handler
+
+    def persist_point(epoch, i, state, metrics, snap):
+        """On a pending preemption signal: checkpoint and bail out."""
+        if stop["sig"] is None:
+            return
+        try:
+            sig_name = signal.Signals(stop["sig"]).name
+        except ValueError:  # pragma: no cover
+            sig_name = f"signal {stop['sig']}"
+        good = state
+        if recover_nonfinite and not np.isfinite(float(metrics["loss"])):
+            good = restore(snap)  # never persist a non-finite state
+        ckpt.save_state(good, os.path.join(out_dir,
+                                           model_name + "_last_state"))
+        raise TrainingPreempted(
+            f"{sig_name} at epoch {epoch} batch {i + 1}: resumable state "
+            f"saved to {model_name}_last_state", good)
+
     os.makedirs(out_dir, exist_ok=True)
+    try:
+        state = _epoch_loop(
+            step_fn, state, dataset, batch_size, epochs, epoch_start,
+            out_dir, model_name, export_pth, log_every, seed, num_workers,
+            prefetch, sharding, log_fn, loss_plots_dir, save_every_steps,
+            recover_nonfinite, max_recoveries, snapshot_of, restore,
+            persist_point)
+    finally:
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
+    return state
+
+
+def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
+                out_dir, model_name, export_pth, log_every, seed,
+                num_workers, prefetch, sharding, log_fn, loss_plots_dir,
+                save_every_steps, recover_nonfinite, max_recoveries,
+                snapshot_of, restore, persist_point):
     recoveries = 0
     for epoch in range(epoch_start, epochs + 1):
         loader = BatchLoader(dataset, batch_size, shuffle=True,
@@ -106,6 +176,7 @@ def run_training(
         for i, batch in enumerate(device_prefetch(iter(loader), prefetch,
                                                   sharding)):
             state, metrics = step_fn(state, batch)
+            persist_point(epoch, i, state, metrics, snap)
             is_save = bool(save_every_steps
                            and (i + 1) % save_every_steps == 0)
             # check before every persist point (periodic saves AND the
