@@ -132,6 +132,76 @@ class TestMeshStylizer:
         np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
 
 
+class TestRingSoftmaxAttention:
+    def test_matches_single_device_exact(self, rng):
+        """Ring attention (ppermuted K/V blocks + online softmax) must
+        equal the single-device exact softmax moments."""
+        from vst_tpu.models.adaattn import attention_moments
+        from vst_tpu.parallel.attention import (
+            sharded_softmax_attention_moments,
+        )
+
+        b, n, m, d, c = 2, 64, 64, 24, 16
+        q = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, m, d)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, m, c)).astype(np.float32))
+        m1_ref, m2_ref = attention_moments(q, k, v, "softmax", mode="exact")
+
+        mesh = make_mesh(8, ("data",))
+        spec = NamedSharding(mesh, P(None, "data", None))
+        m1, m2 = sharded_softmax_attention_moments(
+            mesh, jax.device_put(q, spec), jax.device_put(k, spec),
+            jax.device_put(v, spec))
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m1_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m2_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_extreme_scores_stay_finite(self, rng):
+        """The online rescaling must survive score magnitudes that would
+        overflow a naive exp (the reason flash softmax tracks a running
+        max at all)."""
+        from vst_tpu.models.adaattn import attention_moments
+        from vst_tpu.parallel.attention import (
+            sharded_softmax_attention_moments,
+        )
+
+        b, n, m, d, c = 1, 32, 32, 8, 4
+        q = jnp.asarray(
+            (rng.standard_normal((b, n, d)) * 30).astype(np.float32))
+        k = jnp.asarray(
+            (rng.standard_normal((b, m, d)) * 30).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, m, c)).astype(np.float32))
+        m1_ref, m2_ref = attention_moments(q, k, v, "softmax", mode="exact")
+        mesh = make_mesh(8, ("data",))
+        spec = NamedSharding(mesh, P(None, "data", None))
+        m1, m2 = sharded_softmax_attention_moments(
+            mesh, jax.device_put(q, spec), jax.device_put(k, spec),
+            jax.device_put(v, spec))
+        assert np.all(np.isfinite(np.asarray(m1)))
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m1_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m2_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_full_softmax_stylizer_with_mesh(self, rng):
+        """The one-program sharded AdaAttN pipeline also serves the IMAGE
+        model's softmax activation through the ring path."""
+        from vst_tpu.infer.image import stylize_adaattn, stylize_adaattn_sharded
+        from vst_tpu.models import vgg as vgg_m
+        from vst_tpu.models.adaattn import init_stylizing_network
+
+        vp = vgg_m.init_vgg19_adaattn(0)
+        ap = init_stylizing_network(1)
+        c = jnp.asarray((rng.random((1, 128, 128, 3)) * 255).astype(np.float32))
+        s = jnp.asarray((rng.random((1, 128, 128, 3)) * 255).astype(np.float32))
+        ref = np.asarray(stylize_adaattn(vp, ap, c, s, "softmax"))
+        mesh = make_mesh(8, ("space",))
+        out = stylize_adaattn_sharded(vp, ap, c, s, mesh,
+                                      activation="softmax")
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=5e-2)
+
+
 class TestSpatialInferHelper:
     def test_matches_single_device(self, rng):
         from vst_tpu.infer.image import stylize_reconet, stylize_spatial_sharded

@@ -101,8 +101,10 @@ def stylize_adaattn_sharded(vgg_params, params, content, style, mesh,
 
     Requirements: content H divisible by 16·axis_size (so every VGG tap's
     token count splits evenly); style may be batch-1 (broadcast to the
-    content batch on device, encoded once).  Sequence-parallel attention is
-    cosine-only — the video model's activation (AdaAttN/train_video.py:39).
+    content batch on device, encoded once).  Both activations shard:
+    cosine (the video model, AdaAttN/train_video.py:39) via the linear
+    form's single key-moment psum, softmax (the image model,
+    train_image.py:33) via ring attention over ppermuted K/V blocks.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P

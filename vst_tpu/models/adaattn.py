@@ -141,9 +141,11 @@ def attention_moments(q, k, v, activation: str, mode: str = "auto",
                       chunk: int = 1024, mesh=None, mesh_axis: str = "data"):
     """Dispatch on activation/mode.  Shapes: q (b,n,d), k (b,m,d), v (b,m,c).
 
-    ``mesh``: optional jax.sharding.Mesh — cosine attention then runs
+    ``mesh``: optional jax.sharding.Mesh — attention then runs
     sequence-parallel with the token axis sharded over ``mesh_axis``
-    (vst_tpu.parallel.attention; one psum of the key moments over ICI).
+    (vst_tpu.parallel.attention): cosine as one psum of the small key
+    moments, softmax as ring attention (K/V blocks ppermuted around the
+    mesh with online-softmax accumulation).
     """
     prec = matmul_precision(q.dtype)
     if activation == "cosine":
@@ -157,6 +159,13 @@ def attention_moments(q, k, v, activation: str, mode: str = "auto",
             return _attention_moments_cosine_exact(q, k, v, prec)
         return _attention_moments_cosine_linear(q, k, v, prec)
     if activation == "softmax":
+        if mesh is not None:
+            from vst_tpu.parallel.attention import (
+                sharded_softmax_attention_moments,
+            )
+
+            return sharded_softmax_attention_moments(mesh, q, k, v,
+                                                     mesh_axis)
         n, m = q.shape[1], k.shape[1]
         if mode == "pallas" and n * m > 1024 * 1024:
             from vst_tpu.kernels import softmax_attention_moments_pallas
