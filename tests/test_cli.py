@@ -227,6 +227,50 @@ class TestInferVideoCLI:
         img = PILImage.open(os.path.join(frames_dir, files[0]))
         assert img.size == (128, 48)  # side-by-side width doubled
 
+
+    def test_data_parallel_matches_single_device(self, tmp_path, rng):
+        """--data-parallel shards frame batches over the 8-device mesh;
+        frames are independent, so output must be frame-identical to the
+        single-device run."""
+        from vst_tpu.cli import infer_video as cli_iv
+        from vst_tpu.models import reconet
+        from vst_tpu.train.checkpoint import save_params
+
+        video = str(tmp_path / "in.avi")
+        self._make_video(video, rng, n=10)
+        weights = str(tmp_path / "w.npz")
+        save_params(reconet.init_reconet(0), weights)
+        d_single = str(tmp_path / "single")
+        d_dp = str(tmp_path / "dp")
+        base = ["--model", "reconet", "--weights", weights, "--video",
+                video, "--size", "64", "48", "--batch-size", "8",
+                "--frames-ext", "png"]
+        cli_iv.main(base + ["--frames-dir", d_single])
+        cli_iv.main(base + ["--frames-dir", d_dp, "--data-parallel"])
+        singles = sorted(os.listdir(d_single))
+        dps = sorted(os.listdir(d_dp))
+        assert singles and singles == dps
+        from PIL import Image as PILImage
+
+        for name in singles:
+            a = np.asarray(PILImage.open(os.path.join(d_single, name)))
+            b = np.asarray(PILImage.open(os.path.join(d_dp, name)))
+            np.testing.assert_array_equal(a, b)
+
+    def test_data_parallel_batch_divisibility(self, tmp_path, rng, capsys):
+        from vst_tpu.cli import infer_video as cli_iv
+        from vst_tpu.models import reconet
+        from vst_tpu.train.checkpoint import save_params
+
+        video = str(tmp_path / "in.avi")
+        self._make_video(video, rng, n=4)
+        weights = str(tmp_path / "w.npz")
+        save_params(reconet.init_reconet(0), weights)
+        with pytest.raises(SystemExit, match="divisible"):
+            cli_iv.main(["--model", "reconet", "--weights", weights,
+                         "--video", video, "--size", "64", "48",
+                         "--batch-size", "3", "--data-parallel"])
+
     def test_adaattn_video(self, tmp_path, rng):
         from vst_tpu.cli import infer_video as cli_iv
         from vst_tpu.models import adaattn

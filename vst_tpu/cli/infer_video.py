@@ -58,6 +58,13 @@ def build_parser():
     p.add_argument("--platform", choices=["cpu", "tpu"],
                    help="pin the JAX backend (default: auto; also "
                         "honours VST_PLATFORM)")
+    p.add_argument("--data-parallel", type=int, metavar="N", nargs="?",
+                   const=0,
+                   help="shard each frame batch over an N-device mesh "
+                        "(omit N = all devices).  Frames are independent, "
+                        "so this is pure throughput scaling — params "
+                        "replicated, batch dim sharded, zero collectives "
+                        "(reconet/sd1/sd2/rtnstv)")
     p.add_argument("--wire", default="rgb", choices=["rgb", "i420"],
                    help="device→host frame format: i420 packs YUV 4:2:0 on "
                         "device (half the down-link bytes; bit-exact cv2 "
@@ -74,6 +81,27 @@ def main(argv=None):
     setup_jax(args.platform)
     params = load_weights(args.weights)
     check_weights_match(params, args.model, args.weights)
+
+    dp_sharding = None
+    if args.data_parallel is not None:
+        if args.model == "adaattn":
+            raise SystemExit("--data-parallel supports the per-frame "
+                             "models (reconet/sd1/sd2/rtnstv); the AdaAttN "
+                             "serving path scales via its own batch dim")
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vst_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.data_parallel or None, ("data",))
+        n_dev = mesh.devices.size
+        if args.batch_size % n_dev:
+            raise SystemExit(f"--batch-size {args.batch_size} must be "
+                             f"divisible by the {n_dev}-device data mesh")
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        dp_sharding = NamedSharding(mesh, P("data"))
+        print(f"data-parallel serving over {n_dev} devices "
+              f"({args.batch_size // n_dev} frames/device)")
 
     if args.model == "adaattn":
         import jax.numpy as jnp
@@ -108,6 +136,12 @@ def main(argv=None):
         if args.weights2:
             params2 = load_weights(args.weights2)
             fam2 = args.model2 or args.model
+            if dp_sharding is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                params2 = jax.device_put(
+                    params2, NamedSharding(dp_sharding.mesh, P()))
             if fam2 == "rtnstv":
                 model2_fn = functools.partial(stylize_rtnstv, params2,
                                               uint8_out=True)
@@ -120,6 +154,14 @@ def main(argv=None):
                 a = np.asarray(base_fn(batch))
                 b = np.asarray(model2_fn(batch))
                 return np.concatenate([a, b], axis=2)
+
+        if dp_sharding is not None:
+            import jax
+
+            dp_base, dp_spec = model_fn, dp_sharding
+
+            def model_fn(batch):  # noqa: F811 — batch sharded over mesh
+                return dp_base(jax.device_put(batch, dp_spec))
 
         frames = frames_from_source(args.video, size, "linear",
                                     dtype="uint8")
