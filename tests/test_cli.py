@@ -289,6 +289,36 @@ class TestInferVideoCLI:
         assert len(os.listdir(frames_dir)) == 4
 
 
+    def test_adaattn_data_parallel_matches_single(self, tmp_path, rng):
+        """--data-parallel with the AdaAttN stylizer: style state and
+        params replicate, the frame batch shards — frame-identical to
+        the single-device run."""
+        from vst_tpu.cli import infer_video as cli_iv
+        from vst_tpu.models import adaattn
+        from vst_tpu.train.checkpoint import save_params
+
+        video = str(tmp_path / "in.avi")
+        self._make_video(video, rng, n=10, size=(64, 64))
+        weights = str(tmp_path / "ada.npz")
+        save_params(adaattn.init_stylizing_network(0), weights)
+        style = _png(str(tmp_path / "s.png"), rng, (64, 64))
+        d_single = str(tmp_path / "single")
+        d_dp = str(tmp_path / "dp")
+        base = ["--model", "adaattn", "--weights", weights, "--style",
+                style, "--video", video, "--size", "64", "64",
+                "--batch-size", "8", "--frames-ext", "png"]
+        cli_iv.main(base + ["--frames-dir", d_single])
+        cli_iv.main(base + ["--frames-dir", d_dp, "--data-parallel"])
+        singles = sorted(os.listdir(d_single))
+        assert singles and singles == sorted(os.listdir(d_dp))
+        from PIL import Image as PILImage
+
+        for name in singles:
+            a = np.asarray(PILImage.open(os.path.join(d_single, name)))
+            b = np.asarray(PILImage.open(os.path.join(d_dp, name)))
+            np.testing.assert_array_equal(a, b)
+
+
 class TestInferImageSampling:
     def test_adaattn_sample_from(self, tmp_path, rng):
         from vst_tpu.cli import infer_image as cli_ii

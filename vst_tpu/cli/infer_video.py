@@ -63,8 +63,7 @@ def build_parser():
                    help="shard each frame batch over an N-device mesh "
                         "(omit N = all devices).  Frames are independent, "
                         "so this is pure throughput scaling — params "
-                        "replicated, batch dim sharded, zero collectives "
-                        "(reconet/sd1/sd2/rtnstv)")
+                        "replicated, batch dim sharded, zero collectives")
     p.add_argument("--wire", default="rgb", choices=["rgb", "i420"],
                    help="device→host frame format: i420 packs YUV 4:2:0 on "
                         "device (half the down-link bytes; bit-exact cv2 "
@@ -83,11 +82,8 @@ def main(argv=None):
     check_weights_match(params, args.model, args.weights)
 
     dp_sharding = None
+    dp_mesh = None
     if args.data_parallel is not None:
-        if args.model == "adaattn":
-            raise SystemExit("--data-parallel supports the per-frame "
-                             "models (reconet/sd1/sd2/rtnstv); the AdaAttN "
-                             "serving path scales via its own batch dim")
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -98,8 +94,10 @@ def main(argv=None):
         if args.batch_size % n_dev:
             raise SystemExit(f"--batch-size {args.batch_size} must be "
                              f"divisible by the {n_dev}-device data mesh")
-        params = jax.device_put(params, NamedSharding(mesh, P()))
-        dp_sharding = NamedSharding(mesh, P("data"))
+        dp_mesh = mesh
+        if args.model != "adaattn":  # adaattn: the stylizer takes the mesh
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+            dp_sharding = NamedSharding(mesh, P("data"))
         print(f"data-parallel serving over {n_dev} devices "
               f"({args.batch_size // n_dev} frames/device)")
 
@@ -112,7 +110,7 @@ def main(argv=None):
         stylizer = AdaAttNVideoStylizer(vgg_params, params, style,
                                         args.activation, args.batch_size,
                                         pipeline_depth=args.pipeline_depth,
-                                        wire=args.wire)
+                                        wire=args.wire, mesh=dp_mesh)
         frames = frames_from_source(args.video, size, "area", dtype="uint8")
         out_iter = stylizer.stylize_frames(frames)
     else:

@@ -175,11 +175,16 @@ class AdaAttNVideoStylizer:
 
     Frames may be uint8 or float 0–255 (cast on device); styled frames come
     back as uint8 device arrays, and up to ``pipeline_depth`` batches are
-    kept in flight (see StreamingStylizer)."""
+    kept in flight (see StreamingStylizer).
+
+    ``mesh``: optional 1-D ``jax.sharding.Mesh`` with a "data" axis —
+    params/style-state replicate and each content batch's frame dim shards
+    across it (frames are independent: pure throughput scaling, zero
+    collectives).  ``batch_size`` must divide evenly."""
 
     def __init__(self, vgg_params, params, style_255, activation="cosine",
                  batch_size: int = 2, pipeline_depth: int = 3,
-                 wire: str = "rgb"):
+                 wire: str = "rgb", mesh=None):
         import functools
 
         import jax
@@ -212,7 +217,23 @@ class AdaAttNVideoStylizer:
                 return rgb_to_i420(cs)
             return cs.astype(jnp.uint8)
 
-        self._run = lambda content: run(vgg_params, params, content, state)
+        if mesh is None:
+            self._run = lambda content: run(vgg_params, params, content,
+                                            state)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if batch_size % mesh.devices.size:
+                raise ValueError(
+                    f"batch_size {batch_size} must be divisible by the "
+                    f"{mesh.devices.size}-device mesh")
+            rep = NamedSharding(mesh, P())
+            vgg_params = jax.device_put(vgg_params, rep)
+            params = jax.device_put(params, rep)
+            state = jax.device_put(state, rep)
+            bspec = NamedSharding(mesh, P("data"))
+            self._run = lambda content: run(
+                vgg_params, params, jax.device_put(content, bspec), state)
 
     def stylize_frames(self, frames):
         """frames: iterator of HWC RGB uint8/float 0–255 → RGB uint8."""
