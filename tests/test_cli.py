@@ -75,6 +75,31 @@ class TestTrainCLI:
         assert any(f.endswith(".pth") for f in files)
         assert os.path.isdir(os.path.join(out_dir, "rtnstv_last_state"))
 
+    def test_preemption_exits_zero(self, tmp_path, rng, monkeypatch,
+                                    capsys):
+        """A TrainingPreempted from the loop must surface as a CLEAN exit
+        (code 0) so supervisors distinguish preemption from failure."""
+        from vst_tpu.train.loop import TrainingPreempted
+
+        root = str(tmp_path / "sceneflow")
+        _make_sceneflow_scene(os.path.join(root, "monkaa"), rng, 5, "monkaa")
+        _make_sceneflow_scene(os.path.join(root, "flyingthings3d"), rng, 5,
+                              "ft3d")
+        style = _png(str(tmp_path / "style.png"), rng)
+
+        def fake_run_training(*a, **k):
+            raise TrainingPreempted("SIGTERM at epoch 1 batch 1", None)
+
+        monkeypatch.setattr(cli_train, "run_training", fake_run_training)
+        with pytest.raises(SystemExit) as exc:
+            cli_train.main([
+                "--trainer", "rtnstv", "--data", root, "--style", style,
+                "--out-dir", str(tmp_path / "m"), "--epochs", "1",
+                "--batch-size", "2", "--img-size", "24", "32",
+            ])
+        assert exc.value.code == 0
+        assert "preempted" in capsys.readouterr().out
+
     def test_rtnstv_data_parallel(self, tmp_path, rng):
         """--data-parallel 8 on the virtual CPU mesh: batch sharded on the
         "data" axis, params replicated, checkpoints written from the
