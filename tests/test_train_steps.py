@@ -222,3 +222,40 @@ class TestRemat:
         rel = np.linalg.norm(va - vb) / np.linalg.norm(va)
         cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
         assert rel < 1e-4 and cos > 0.999999, (rel, cos)
+
+    def test_adaattn_video_remat_matches(self, rng):
+        """cfg.remat on the AdaAttN steps (VGG + stylizer + no-conv target
+        rematerialized) must not change the training numerics."""
+        from vst_tpu.models import adaattn
+        from vst_tpu.train.state import create
+
+        cfg_a = dataclasses.replace(
+            C.AdaAttNVideoConfig(), frame_size=(32, 32), batch_size=2,
+            dtype="float32", attention_mode="exact")
+        cfg_b = dataclasses.replace(cfg_a, remat=True)
+        vgg_params = vgg.init_vgg19_adaattn(KEY)
+        opt = make_optimizer(cfg_a.lr)
+        batch = (image(rng, 2, 32, 32), image(rng, 2, 32, 32),
+                 image(rng, 2, 32, 32))
+        results = {}
+        for name, cfg in (("plain", cfg_a), ("remat", cfg_b)):
+            step = steps.make_adaattn_video_step(cfg, vgg_params, opt)
+            state = create(adaattn.init_stylizing_network(KEY), opt)
+            losses_seen = []
+            for _ in range(3):
+                state, m = step(state, batch)
+                losses_seen.append(float(m["loss"]))
+            results[name] = (losses_seen, state.params)
+        for a, b in zip(results["plain"][0], results["remat"][0]):
+            assert a == pytest.approx(b, rel=1e-5)
+        # post-Adam params amplify fp recompute noise toward ±lr (same
+        # caveat as the ReCoNet test above): bound drift loosely, trust
+        # the per-step loss agreement (step 2/3 losses run through the
+        # step-1/2 updated params, so gradient agreement is implied)
+        pa, pb = results["plain"][1], results["remat"][1]
+        va = np.concatenate([np.asarray(pa[k], np.float64).ravel()
+                             for k in sorted(pa)])
+        vb = np.concatenate([np.asarray(pb[k], np.float64).ravel()
+                             for k in sorted(pb)])
+        assert np.linalg.norm(va - vb) / np.linalg.norm(va) < 5e-3
+

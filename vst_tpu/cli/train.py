@@ -53,6 +53,10 @@ def build_parser():
                         "derived from the saved step), start fresh "
                         "otherwise — an idempotent restart-after-crash "
                         "entry point")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the stylizer/VGG forwards "
+                        "(jax.checkpoint): trades recompute FLOPs for "
+                        "activation HBM so larger batches/resolutions fit")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--loss-plots-dir",
@@ -91,6 +95,8 @@ def _override(cfg, args):
         field = ("img_size" if hasattr(cfg, "img_size") else
                  "crop_size" if hasattr(cfg, "crop_size") else "frame_size")
         kw[field] = tuple(args.img_size)
+    if args.remat:
+        kw["remat"] = True
     return dataclasses.replace(cfg, **kw) if kw else cfg
 
 

@@ -370,26 +370,39 @@ def decoder(params, x5, x4, x3):
 # ------------------------------------------------------------- full model
 
 def stylizing_network(params, fc: dict, fs: dict, activation="softmax",
-                      mode="auto", mesh=None, mesh_axis="data"):
+                      mode="auto", mesh=None, mesh_axis="data",
+                      remat=False):
     """Full AdaAttN stylizer (network.py:223-251).
 
     fc/fs: ordered VGG19 tap dicts from
     ``vst_tpu.models.vgg.vgg19_adaattn_features``.
     ``mesh``: optional Mesh for sequence-parallel cosine attention across
     chips (see attention_moments).
+    ``remat=True`` checkpoints each attention module and the decoder
+    separately (segmented, like models/vgg.py::_run): backward holds one
+    module's internals at a time instead of all three attention maps plus
+    the decoder chain.
     """
     fcl = list(fc.values())
     fsl = list(fs.values())
+
+    def run_module(params, c_x, s_x, c_1x, s_1x, i):
+        return adaattn_module(params, f"adaattn.{i}", c_x, s_x, c_1x, s_1x,
+                              activation, mode, mesh=mesh,
+                              mesh_axis=mesh_axis)
+
+    run_decoder = decoder
+    if remat:
+        run_module = jax.checkpoint(run_module, static_argnums=(5,))
+        run_decoder = jax.checkpoint(decoder)
+
     outs = []
     for i in range(3):
         idx = i + 2
         c_1x = feature_down_sample(fcl, idx)
         s_1x = feature_down_sample(fsl, idx)
-        outs.append(
-            adaattn_module(params, f"adaattn.{i}", fcl[idx], fsl[idx],
-                           c_1x, s_1x, activation, mode, mesh=mesh,
-                           mesh_axis=mesh_axis))
-    return decoder(params, outs[2], outs[1], outs[0])
+        outs.append(run_module(params, fcl[idx], fsl[idx], c_1x, s_1x, i))
+    return run_decoder(params, outs[2], outs[1], outs[0])
 
 
 # ---------------------------------------------------------------- init

@@ -69,13 +69,8 @@ def init_params(key, cfg, max_index: int, dtype="float32"):
     return params
 
 
-def _run(params, x, cfg, taps: dict[str, int]):
-    max_tap = max(taps.values())
-    inv = {v: k for k, v in taps.items()}
-    out = {}
-    for idx, kind, _, _ in _layer_table(cfg):
-        if idx > max_tap:
-            break
+def _apply_layers(params, x, layers):
+    for idx, kind in layers:
         if kind == "conv":
             x = conv2d(
                 x,
@@ -88,24 +83,49 @@ def _run(params, x, cfg, taps: dict[str, int]):
             x = jax.nn.relu(x)
         else:
             x = max_pool2d(x)
+    return x
+
+
+def _run(params, x, cfg, taps: dict[str, int], remat: bool = False):
+    """Run the sliced backbone, returning the tap dict.
+
+    ``remat=True`` wraps each inter-tap segment in ``jax.checkpoint``:
+    only the tap outputs (kept anyway) survive the forward, and backward
+    recomputes ONE segment's internals at a time.  Checkpointing the whole
+    extractor instead would re-materialize every residual at once inside
+    its backward — measured no peak-memory win; the segmented form is the
+    one that actually lowers the high-water mark."""
+    max_tap = max(taps.values())
+    inv = {v: k for k, v in taps.items()}
+    out = {}
+    segment = []
+    for idx, kind, _, _ in _layer_table(cfg):
+        if idx > max_tap:
+            break
+        segment.append((idx, kind))
         if idx in inv:
+            fn = _apply_layers
+            if remat:
+                fn = jax.checkpoint(_apply_layers, static_argnums=(2,))
+            x = fn(params, x, tuple(segment))
             out[inv[idx]] = x
+            segment = []
     return out
 
 
-def vgg16_features(params, x):
+def vgg16_features(params, x, remat: bool = False):
     """ReCoNet tap set.  ``x`` must already be vgg_normalized (NHWC)."""
-    return _run(params, x, VGG16_CFG, VGG16_TAPS_RECONET)
+    return _run(params, x, VGG16_CFG, VGG16_TAPS_RECONET, remat)
 
 
-def vgg19_rtnstv_features(params, x):
+def vgg19_rtnstv_features(params, x, remat: bool = False):
     """RTNSTV tap set.  ``x`` is a 0–255 NHWC RGB tensor (normalized here)."""
-    return _run(params, vgg_normalize(x), VGG19_CFG, VGG19_TAPS_RTNSTV)
+    return _run(params, vgg_normalize(x), VGG19_CFG, VGG19_TAPS_RTNSTV, remat)
 
 
-def vgg19_adaattn_features(params, x):
+def vgg19_adaattn_features(params, x, remat: bool = False):
     """AdaAttN tap set.  ``x`` is a 0–255 NHWC RGB tensor (normalized here)."""
-    return _run(params, vgg_normalize(x), VGG19_CFG, VGG19_TAPS_ADAATTN)
+    return _run(params, vgg_normalize(x), VGG19_CFG, VGG19_TAPS_ADAATTN, remat)
 
 
 def init_vgg16_reconet(key, dtype="float32"):

@@ -176,11 +176,12 @@ def make_reconet_coco_step(cfg, vgg_params, style_grams, optimizer):
     """Image-only content+style trainer (train_coco2014.py:28-105)."""
 
     vgg_params = _cast_tree(vgg_params, cfg.dtype)
+    fwd = _maybe_remat(reconet_m.reconet, cfg)
 
     def loss_fn(params, img):
         params = _cast_tree(params, cfg.dtype)
         img = _cast_tree(img, cfg.dtype)
-        *_, styled = reconet_m.reconet(params, img)
+        *_, styled = fwd(params, img)
         sn = vgg_normalize(styled)
         inorm = vgg_normalize(img)
         # one batched VGG pass over [styled, content] (no cross-batch op)
@@ -213,8 +214,8 @@ def make_reconet_distill_step(cfg, vgg_params, style_grams, teacher_params,
     shape-incompatible (SD1 stage: 96-ch teacher deconv1 tap vs 64-ch
     student tap — see config.py), the SD term is reported as NaN.
     """
-    teacher_fwd = RECONET_FORWARD[cfg.teacher]
-    student_fwd = RECONET_FORWARD[cfg.student]
+    teacher_fwd = RECONET_FORWARD[cfg.teacher]  # stop_gradient: no residuals
+    student_fwd = _maybe_remat(RECONET_FORWARD[cfg.student], cfg)
 
     vgg_params = _cast_tree(vgg_params, cfg.dtype)
     teacher_params = _cast_tree(teacher_params, cfg.dtype)
@@ -309,13 +310,46 @@ def make_rtnstv_step(cfg, vgg_params, style_grams, optimizer):
 
 # ----------------------------------------------------------------- AdaAttN
 
-def _adaattn_gs_lf(cfg, params, vgg_params, fc, fs, cs, fcs=None):
+def _adaattn_fwds(cfg):
+    """The AdaAttN step's memory-heavy forwards, optionally rematerialized
+    (``cfg.remat``): the VGG19 encoder, the stylizer, and the conv-free
+    attention target.  Remat is SEGMENTED (per VGG inter-tap slice, per
+    attention module, per decoder — see models/vgg.py::_run): only the
+    segment boundaries survive the forward and backward recomputes one
+    segment's internals at a time, which is what actually lowers the peak
+    (checkpointing each whole forward re-materializes every residual at
+    once inside its backward — measured no high-water-mark win).  This is
+    the lever that shrinks the 7+ GiB f32 video-trainer footprint
+    (BENCH.md) for larger batches/resolutions."""
+    remat = getattr(cfg, "remat", False)
+    mode = getattr(cfg, "attention_mode", "train")
+
+    def vgg_feats(vgg_params, x):
+        return vgg_m.vgg19_adaattn_features(vgg_params, x, remat=remat)
+
+    def stylize(params, fc, fs):
+        return adaattn_m.stylizing_network(params, fc, fs, cfg.activation,
+                                           mode=mode, remat=remat)
+
+    def no_conv_target(c_x, s_x, c_1x, s_1x):
+        return adaattn_m.adaattn_no_conv(c_x, s_x, c_1x, s_1x,
+                                         cfg.activation, mode=mode)
+
+    if remat:
+        no_conv_target = jax.checkpoint(no_conv_target)
+    return vgg_feats, stylize, no_conv_target
+
+
+def _adaattn_gs_lf(cfg, params, vgg_params, fc, fs, cs, fcs=None,
+                   vgg_feats=None, no_conv_target=None):
     """Global-stylized + local-feature losses (train_image.py:84-106).
 
     ``fcs``: optionally precomputed VGG taps of ``cs`` (the video step
     encodes both stylized frames in one batched pass)."""
+    if vgg_feats is None or no_conv_target is None:
+        vgg_feats, _, no_conv_target = _adaattn_fwds(cfg)
     if fcs is None:
-        fcs = vgg_m.vgg19_adaattn_features(vgg_params, cs)
+        fcs = vgg_feats(vgg_params, cs)
     loss_gs = 0.0
     for tap in ("relu2_1", "relu3_1", "relu4_1", "relu5_1"):
         loss_gs = loss_gs + losses.global_stylized_loss(fcs[tap], fs[tap])
@@ -328,9 +362,7 @@ def _adaattn_gs_lf(cfg, params, vgg_params, fc, fs, cs, fcs=None):
         idx = i + 2
         c_1x = feature_down_sample(fcl, idx)
         s_1x = feature_down_sample(fsl, idx)
-        target = adaattn_m.adaattn_no_conv(
-            fcl[idx], fsl[idx], c_1x, s_1x, cfg.activation,
-            mode=getattr(cfg, "attention_mode", "train"))
+        target = no_conv_target(fcl[idx], fsl[idx], c_1x, s_1x)
         loss_lf = loss_lf + losses.local_feature_loss(
             fcs[f"relu{i + 3}_1"], target)
     loss_lf = loss_lf * cfg.lambda_l
@@ -341,6 +373,7 @@ def make_adaattn_image_step(cfg, vgg_params, optimizer):
     """AdaAttN image-mode trainer (AdaAttN/train_image.py:25-125)."""
 
     vgg_params = _cast_tree(vgg_params, cfg.dtype)
+    vgg_feats, stylize, no_conv_target = _adaattn_fwds(cfg)
 
     def loss_fn(params, content, style):
         params = _cast_tree(params, cfg.dtype)
@@ -348,14 +381,13 @@ def make_adaattn_image_step(cfg, vgg_params, optimizer):
         style = _cast_tree(style, cfg.dtype)
         # one batched VGG pass over [content, style] (same crop size)
         n = content.shape[0]
-        f = vgg_m.vgg19_adaattn_features(
-            vgg_params, jnp.concatenate([content, style], axis=0))
+        f = vgg_feats(vgg_params, jnp.concatenate([content, style], axis=0))
         fc = {k: v[:n] for k, v in f.items()}
         fs = {k: v[n:] for k, v in f.items()}
-        cs = adaattn_m.stylizing_network(
-            params, fc, fs, cfg.activation,
-            mode=getattr(cfg, "attention_mode", "train"))
-        _, loss_gs, loss_lf = _adaattn_gs_lf(cfg, params, vgg_params, fc, fs, cs)
+        cs = stylize(params, fc, fs)
+        _, loss_gs, loss_lf = _adaattn_gs_lf(
+            cfg, params, vgg_params, fc, fs, cs, vgg_feats=vgg_feats,
+            no_conv_target=no_conv_target)
         total = loss_gs + loss_lf
         return total, {"loss_gs": loss_gs, "loss_lf": loss_lf, "loss": total}
 
@@ -377,6 +409,7 @@ def make_adaattn_video_step(cfg, vgg_params, optimizer):
     """
 
     vgg_params = _cast_tree(vgg_params, cfg.dtype)
+    vgg_feats, stylize, no_conv_target = _adaattn_fwds(cfg)
 
     def loss_fn(params, content1, content2, style):
         params = _cast_tree(params, cfg.dtype)
@@ -385,7 +418,7 @@ def make_adaattn_video_step(cfg, vgg_params, optimizer):
         style = _cast_tree(style, cfg.dtype)
         # one batched VGG pass over [content1, content2, style]
         n = content1.shape[0]
-        f = vgg_m.vgg19_adaattn_features(
+        f = vgg_feats(
             vgg_params,
             jnp.concatenate([content1, content2, style], axis=0))
         fc1 = {k: v[:n] for k, v in f.items()}
@@ -396,15 +429,14 @@ def make_adaattn_video_step(cfg, vgg_params, optimizer):
         # pass over both stylized frames
         fc_cat = {k: jnp.concatenate([fc1[k], fc2[k]], axis=0) for k in fc1}
         fs_cat = {k: jnp.concatenate([v, v], axis=0) for k, v in fs.items()}
-        cs = adaattn_m.stylizing_network(
-            params, fc_cat, fs_cat, cfg.activation,
-            mode=getattr(cfg, "attention_mode", "train"))
+        cs = stylize(params, fc_cat, fs_cat)
         cs1 = cs[:n]
-        f_cs = vgg_m.vgg19_adaattn_features(vgg_params, cs)
+        f_cs = vgg_feats(vgg_params, cs)
         fcs1 = {k: v[:n] for k, v in f_cs.items()}
         fcs2 = {k: v[n:] for k, v in f_cs.items()}
         _, loss_gs, loss_lf = _adaattn_gs_lf(
-            cfg, params, vgg_params, fc1, fs, cs1, fcs=fcs1)
+            cfg, params, vgg_params, fc1, fs, cs1, fcs=fcs1,
+            vgg_feats=vgg_feats, no_conv_target=no_conv_target)
 
         loss_is = 0.0
         for tap in ("relu2_1", "relu3_1", "relu4_1"):
