@@ -333,6 +333,32 @@ class TestPipeline:
         a, b = batches[0]
         assert a.shape == (4, 4, 4, 3) and b.shape == (4, 4, 4)
 
+    def test_batch_loader_start_batch_is_exact_tail(self):
+        """start_batch resumes the deterministic shuffle at the index
+        level: the remaining batches equal the uninterrupted epoch's
+        tail, and the skip costs no sample decodes."""
+        full = list(BatchLoader(self._Toy(), batch_size=2, shuffle=True,
+                                seed=7, num_workers=0))
+
+        class Counting(self._Toy):
+            calls = 0
+
+            def __getitem__(inner, i):
+                Counting.calls += 1
+                return super().__getitem__(i)
+
+        tail_loader = BatchLoader(Counting(), batch_size=2, shuffle=True,
+                                  seed=7, num_workers=0, start_batch=3)
+        tail = list(tail_loader)
+        assert len(tail) == len(full) - 3
+        assert Counting.calls == 2 * len(tail)  # skipped batches not decoded
+        for (a1, b1), (a2, b2) in zip(full[3:], tail):
+            np.testing.assert_array_equal(a1, a2)
+            np.testing.assert_array_equal(b1, b2)
+        # one-shot: a second iteration runs the full epoch again
+        assert len(list(tail_loader)) == len(full)
+
+
     def test_device_prefetch(self):
         import jax.numpy as jnp
 

@@ -179,6 +179,55 @@ def test_preemption_handler_can_be_disabled(tmp_path):
     assert int(final.step) == 4  # ran to completion
 
 
+def test_resume_mid_epoch_continues_exact_data_order(tmp_path):
+    """Preempt mid-epoch, resume with start_batch (as cli.train --resume
+    auto derives it): the combined run sees exactly the uninterrupted
+    epoch's batch sequence — nothing revisited, nothing skipped."""
+
+    def recording_step(log):
+        def step(state, batch):
+            log.append(tuple(batch[:, 0, 0].tolist()))
+            new = TrainState(params={"w": state.params["w"] + 1.0},
+                             opt_state=(), step=state.step + 1)
+            return new, {"loss": jnp.float32(0.0)}
+        return step
+
+    full_log = []
+    run_training(recording_step(full_log), _state(), _Dataset(8),
+                 batch_size=2, epochs=1, out_dir=str(tmp_path / "a"),
+                 export_pth=False, log_every=0, num_workers=0,
+                 model_name="toy", seed=5)
+    assert len(full_log) == 4
+
+    # interrupted run: preempt lands after global step 1 (2 batches done)
+    part1 = []
+    with pytest.raises(TrainingPreempted):
+        run_training(_wrap_preempt(recording_step(part1), signal_at=1),
+                     _state(), _Dataset(8), batch_size=2, epochs=1,
+                     out_dir=str(tmp_path / "b"), export_pth=False,
+                     log_every=0, num_workers=0, model_name="toy", seed=5)
+    from vst_tpu.train.checkpoint import load_state
+    saved = load_state(str(tmp_path / "b" / "toy_last_state"),
+                       like=_state())
+    n_batches = 4
+    step_k = int(saved.step)
+    part2 = []
+    run_training(recording_step(part2), saved, _Dataset(8), batch_size=2,
+                 epochs=1, epoch_start=step_k // n_batches + 1,
+                 out_dir=str(tmp_path / "b"), export_pth=False,
+                 log_every=0, num_workers=0, model_name="toy", seed=5,
+                 start_batch=step_k % n_batches)
+    assert part1 + part2 == full_log
+
+
+def _wrap_preempt(step, signal_at):
+    def wrapped(state, batch):
+        if int(state.step) == signal_at:
+            os.kill(os.getpid(), signal.SIGUSR1)
+        return step(state, batch)
+    return wrapped
+
+
 def test_guard_disabled_passes_nan_through(tmp_path):
     final = run_training(
         _poisoning_step({1}), _state(), _Dataset(4), batch_size=2,

@@ -210,6 +210,7 @@ def main(argv=None):
     else:  # pragma: no cover
         raise ValueError(t)
 
+    start_batch = 0
     if args.resume:
         import os
 
@@ -232,8 +233,14 @@ def main(argv=None):
             if args.resume == "auto" and args.epoch_start == 1:
                 n_batches = max(len(dataset) // cfg.batch_size, 1)
                 args.epoch_start = int(state.step) // n_batches + 1
+                # continue the interrupted epoch exactly where it stopped:
+                # the shuffle is seed-derived, so skipping the already-seen
+                # prefix at the index level reproduces the uninterrupted
+                # data order (no batch revisited, none skipped)
+                start_batch = int(state.step) % n_batches
                 print(f"auto-resume: step {int(state.step)} → "
-                      f"epoch {args.epoch_start}")
+                      f"epoch {args.epoch_start}"
+                      + (f" batch {start_batch + 1}" if start_batch else ""))
 
     sharding = None
     if args.data_parallel:
@@ -263,7 +270,8 @@ def main(argv=None):
             model_name=name, seed=args.seed, log_every=args.log_every,
             loss_plots_dir=args.loss_plots_dir, sharding=sharding,
             save_every_steps=args.save_every_steps,
-            recover_nonfinite=not args.no_nan_recovery)
+            recover_nonfinite=not args.no_nan_recovery,
+            start_batch=start_batch)
     except TrainingPreempted as e:
         # clean exit: the resumable checkpoint is on disk; a supervisor
         # restarts this same command with --resume auto

@@ -22,11 +22,17 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, num_workers: int = 4, drop_last: bool = True,
-                 epoch: int = 0):
+                 epoch: int = 0, start_batch: int = 0):
         """``epoch`` seeds the dataset's per-item randomness (set_epoch) for
         the first iteration; callers constructing one loader per epoch (e.g.
         run_training) pass the epoch number so crops/style picks differ
-        across epochs yet stay reproducible."""
+        across epochs yet stay reproducible.
+
+        ``start_batch``: skip the first k batches of the (deterministic,
+        seed-derived) shuffle at the INDEX level — no samples are decoded
+        for skipped batches.  Mid-epoch resume after preemption: the
+        remaining iteration is exactly the tail of the uninterrupted
+        epoch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -34,6 +40,7 @@ class BatchLoader:
         self.num_workers = num_workers
         self.drop_last = drop_last
         self._epoch = epoch
+        self.start_batch = start_batch
 
     def __len__(self):
         n = len(self.dataset)
@@ -50,9 +57,11 @@ class BatchLoader:
         if self.shuffle:
             self.rng.shuffle(order)
         n_batches = len(self)
+        first = min(self.start_batch, n_batches)
+        self.start_batch = 0  # one-shot: later iterations run the full epoch
         pool = ThreadPoolExecutor(self.num_workers) if self.num_workers else None
         try:
-            for b in range(n_batches):
+            for b in range(first, n_batches):
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
                 if pool is not None:
                     samples = list(pool.map(self.dataset.__getitem__, idxs))

@@ -76,6 +76,7 @@ def run_training(
     recover_nonfinite: bool = True,
     max_recoveries: int = 3,
     handle_preemption: bool = True,
+    start_batch: int = 0,
 ) -> TrainState:
     """Run ``epochs`` epochs of ``step_fn(state, batch)`` over ``dataset``.
 
@@ -101,6 +102,12 @@ def run_training(
     non-finite), and raises :class:`TrainingPreempted` — a supervisor
     restarts with ``--resume auto`` and loses at most one step.  Handlers
     are installed only in the main thread and restored on exit.
+
+    ``start_batch``: resume the FIRST epoch of this run mid-epoch — skip
+    that many batches of its deterministic shuffle at the index level (no
+    decode cost), so a preempted epoch continues exactly where it left
+    off instead of revisiting its earlier batches.  ``cli.train --resume
+    auto`` derives it from the checkpointed step counter.
     """
 
     def snapshot_of(s):
@@ -152,7 +159,7 @@ def run_training(
             out_dir, model_name, export_pth, log_every, seed, num_workers,
             prefetch, sharding, log_fn, loss_plots_dir, save_every_steps,
             recover_nonfinite, max_recoveries, snapshot_of, restore,
-            persist_point)
+            persist_point, start_batch)
     finally:
         for sig, handler in prev_handlers.items():
             signal.signal(sig, handler)
@@ -163,18 +170,19 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
                 out_dir, model_name, export_pth, log_every, seed,
                 num_workers, prefetch, sharding, log_fn, loss_plots_dir,
                 save_every_steps, recover_nonfinite, max_recoveries,
-                snapshot_of, restore, persist_point):
+                snapshot_of, restore, persist_point, start_batch=0):
     recoveries = 0
     for epoch in range(epoch_start, epochs + 1):
+        sb = start_batch if epoch == epoch_start else 0
         loader = BatchLoader(dataset, batch_size, shuffle=True,
                              seed=seed + epoch, num_workers=num_workers,
-                             epoch=epoch)
+                             epoch=epoch, start_batch=sb)
         n_batches = len(loader)
         t0 = time.time()
         history: dict[str, list] = {}
         snap = snapshot_of(state) if recover_nonfinite else None
         for i, batch in enumerate(device_prefetch(iter(loader), prefetch,
-                                                  sharding)):
+                                                  sharding), start=sb):
             state, metrics = step_fn(state, batch)
             persist_point(epoch, i, state, metrics, snap)
             is_save = bool(save_every_steps
@@ -215,7 +223,7 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
                 vals = {k: float(v) for k, v in metrics.items()}
                 for k, v in vals.items():
                     history.setdefault(k, []).append(v)
-                rate = (i + 1) * batch_size / (time.time() - t0)
+                rate = (i + 1 - sb) * batch_size / (time.time() - t0)
                 msg = " ".join(f"{k}={v:.4g}" for k, v in vals.items())
                 log_fn(f"epoch {epoch}/{epochs} batch {i + 1}/{n_batches} "
                        f"({rate:.3g} samples/s) {msg}")
