@@ -532,3 +532,37 @@ class TestExperimentsVideoCLI:
         assert "Warping Error:" in out and "Flow MSE:" in out
         val = float(out.split("Warping Error:")[1].split()[0])
         assert np.isfinite(val) and val >= 0
+
+
+class TestPreprocessCLI:
+    def test_frames_then_flow(self, tmp_path, rng):
+        """End-to-end offline preprocessing: videos → frames → fwd/bwd
+        flow .npy (RTNSTV/datasets.py:16-85 pipeline as a CLI)."""
+        import cv2
+
+        from vst_tpu.cli import preprocess as cli_pre
+
+        vdir = tmp_path / "videos"
+        vdir.mkdir()
+        w = cv2.VideoWriter(str(vdir / "a.avi"),
+                            cv2.VideoWriter_fourcc(*"MJPG"), 10, (64, 48))
+        for _ in range(4):
+            w.write((rng.random((48, 64, 3)) * 255).astype(np.uint8))
+        w.release()
+        out = str(tmp_path / "pre")
+        cli_pre.main(["frames", "--videos", str(vdir), "--out", out,
+                      "--size", "32", "24"])
+        fdir = os.path.join(out, "frames", "00000")
+        frames = sorted(os.listdir(fdir))
+        assert len(frames) == 4
+        img = Image.open(os.path.join(fdir, frames[0]))
+        assert img.size == (32, 24)
+
+        flow_out = str(tmp_path / "flow")
+        cli_pre.main(["flow", "--frames", os.path.join(out, "frames"),
+                      "--out", flow_out, "--engine", "farneback"])
+        front = sorted(os.listdir(os.path.join(flow_out, "00000", "front")))
+        back = sorted(os.listdir(os.path.join(flow_out, "00000", "back")))
+        assert len(front) == 3 and len(back) == 3
+        f = np.load(os.path.join(flow_out, "00000", "front", front[0]))
+        assert f.shape == (24, 32, 2)
