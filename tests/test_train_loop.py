@@ -179,6 +179,69 @@ def test_preemption_handler_can_be_disabled(tmp_path):
     assert int(final.step) == 4  # ran to completion
 
 
+def test_rollback_does_not_rewind_data_position(tmp_path):
+    """A non-finite rollback restores params but must NOT rewind the step
+    counter — step tracks batches consumed so --resume auto's derived
+    (epoch, start_batch) still matches the true data position."""
+
+    def step(state, batch):
+        k = int(state.step)
+        bad = jnp.float32(jnp.nan) if k == 1 else jnp.float32(0.0)
+        params = {"w": state.params["w"] + 1.0 + bad}
+        new = TrainState(params=params, opt_state=(), step=state.step + 1)
+        return new, {"loss": jnp.sum(params["w"])}
+
+    final = run_training(step, _state(), _Dataset(8), batch_size=2,
+                         epochs=1, out_dir=str(tmp_path), export_pth=False,
+                         log_every=1, num_workers=0, model_name="toy")
+    # 4 batches consumed (one skipped after rollback): step == 4, finite
+    assert int(final.step) == 4
+    assert np.all(np.isfinite(np.asarray(final.params["w"])))
+    from vst_tpu.train.checkpoint import load_state
+    saved = load_state(str(tmp_path / "toy_last_state"), like=_state())
+    assert int(saved.step) == 4
+
+
+def test_resume_after_rollback_and_preempt_keeps_data_order(tmp_path):
+    """Rollback + preemption combined: the interrupted run skips the
+    poisoned batch's update but still consumes it, so the resumed run
+    continues at the true data position."""
+    log1, log2, full = [], [], []
+
+    def make(log, poison=None, sig_at=None):
+        def step(state, batch):
+            k = int(state.step)
+            if sig_at is not None and k == sig_at:
+                os.kill(os.getpid(), signal.SIGUSR1)
+            log.append(tuple(batch[:, 0, 0].tolist()))
+            bad = (jnp.float32(jnp.nan) if poison is not None and k == poison
+                   else jnp.float32(0.0))
+            params = {"w": state.params["w"] + 1.0 + bad}
+            return (TrainState(params=params, opt_state=(),
+                               step=state.step + 1),
+                    {"loss": jnp.sum(params["w"])})
+        return step
+
+    run_training(make(full), _state(), _Dataset(8), batch_size=2, epochs=1,
+                 out_dir=str(tmp_path / "a"), export_pth=False, log_every=0,
+                 num_workers=0, model_name="toy", seed=9)
+    with pytest.raises(TrainingPreempted):
+        run_training(make(log1, poison=1, sig_at=2), _state(), _Dataset(8),
+                     batch_size=2, epochs=1, out_dir=str(tmp_path / "b"),
+                     export_pth=False, log_every=1, num_workers=0,
+                     model_name="toy", seed=9)
+    from vst_tpu.train.checkpoint import load_state
+    saved = load_state(str(tmp_path / "b" / "toy_last_state"),
+                       like=_state())
+    step_k = int(saved.step)
+    assert step_k == 3  # 3 batches consumed (incl. the skipped one)
+    run_training(make(log2), saved, _Dataset(8), batch_size=2, epochs=1,
+                 epoch_start=step_k // 4 + 1, out_dir=str(tmp_path / "b"),
+                 export_pth=False, log_every=0, num_workers=0,
+                 model_name="toy", seed=9, start_batch=step_k % 4)
+    assert log1 + log2 == full
+
+
 def test_resume_mid_epoch_continues_exact_data_order(tmp_path):
     """Preempt mid-epoch, resume with start_batch (as cli.train --resume
     auto derives it): the combined run sees exactly the uninterrupted

@@ -48,7 +48,7 @@ def main():
         step = steps.make_adaattn_video_step(cfg, vp, opt)
         comp = step.lower(state, batch).compile()
         ma = comp.memory_analysis()
-        peak = getattr(ma, "temp_size_in_bytes", None)
+        peak = getattr(ma, "temp_size_in_bytes", 0)
         args_b = getattr(ma, "argument_size_in_bytes", 0)
         out_b = getattr(ma, "output_size_in_bytes", 0)
         print(f"{name}: temp {peak / 2**30:.3f} GiB  "

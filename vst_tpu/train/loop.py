@@ -145,7 +145,11 @@ def run_training(
             sig_name = f"signal {stop['sig']}"
         good = state
         if recover_nonfinite and not np.isfinite(float(metrics["loss"])):
-            good = restore(snap)  # never persist a non-finite state
+            # never persist a non-finite state — but keep the CURRENT step
+            # counter: step tracks batches consumed (the resume data
+            # position), not updates applied, so a rollback must not
+            # rewind it (see the rollback in _epoch_loop)
+            good = restore(snap)._replace(step=state.step)
         ckpt.save_state(good, os.path.join(out_dir,
                                            model_name + "_last_state"))
         raise TrainingPreempted(
@@ -162,7 +166,11 @@ def run_training(
             persist_point, start_batch)
     finally:
         for sig, handler in prev_handlers.items():
-            signal.signal(sig, handler)
+            # signal.signal returns None for handlers installed outside
+            # Python; None is not a valid handler to restore — fall back
+            # to the default disposition rather than raise from finally
+            signal.signal(sig, signal.SIG_DFL if handler is None
+                          else handler)
     return state
 
 
@@ -204,7 +212,12 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
                     log_fn(f"epoch {epoch} batch {i + 1}: non-finite loss; "
                            f"rolled back to last snapshot (recovery "
                            f"{recoveries}/{max_recoveries})")
-                    state = restore(snap)
+                    # params/opt roll back, the step counter does NOT:
+                    # step tracks batches consumed so that --resume auto
+                    # (epoch = step // n_batches, start_batch = step %
+                    # n_batches) still lands on the true data position
+                    # after a recovery
+                    state = restore(snap)._replace(step=state.step)
                     continue
             if is_save:
                 # mid-epoch durability (the reference only saves per epoch

@@ -112,7 +112,8 @@ def _reconet_losses(cfg, vgg_params, style_grams, outs1, outs2,
     # narrow early convs), identical numerics (VGG has no cross-batch op)
     n = s1n.shape[0]
     feats = vgg_m.vgg16_features(
-        vgg_params, jnp.concatenate([s1n, s2n, i1n, i2n], axis=0))
+        vgg_params, jnp.concatenate([s1n, s2n, i1n, i2n], axis=0),
+        remat=getattr(cfg, "remat", False))
     sf1, sf2, cf1, cf2 = zip(*(
         (f[:n], f[n:2 * n], f[2 * n:3 * n], f[3 * n:])
         for f in feats.values()))
@@ -187,7 +188,8 @@ def make_reconet_coco_step(cfg, vgg_params, style_grams, optimizer):
         # one batched VGG pass over [styled, content] (no cross-batch op)
         n = sn.shape[0]
         feats = vgg_m.vgg16_features(
-            vgg_params, jnp.concatenate([sn, inorm], axis=0))
+            vgg_params, jnp.concatenate([sn, inorm], axis=0),
+            remat=getattr(cfg, "remat", False))
         sf = [f[:n] for f in feats.values()]
         cf = [f[n:] for f in feats.values()]
         content = losses.reconet_content_loss(sf, cf) * cfg.alpha
@@ -284,7 +286,8 @@ def make_rtnstv_step(cfg, vgg_params, style_grams, optimizer):
         styled1, styled2 = styled[:n], styled[n:]
         feats = vgg_m.vgg19_rtnstv_features(
             vgg_params, jnp.concatenate([img1, img2, styled1, styled2],
-                                        axis=0))
+                                        axis=0),
+            remat=getattr(cfg, "remat", False))
         cf1, cf2, sf1, sf2 = ({k: f[i * n:(i + 1) * n]
                                for k, f in feats.items()}
                               for i in range(4))
