@@ -242,6 +242,29 @@ def test_resume_after_rollback_and_preempt_keeps_data_order(tmp_path):
     assert log1 + log2 == full
 
 
+def test_metrics_jsonl_sink(tmp_path):
+    """metrics_jsonl appends one machine-readable record per logged step."""
+    import json
+
+    path = str(tmp_path / "metrics.jsonl")
+    run_training(_poisoning_step(set()), _state(), _Dataset(8),
+                 batch_size=2, epochs=2, out_dir=str(tmp_path),
+                 export_pth=False, log_every=1, num_workers=0,
+                 model_name="toy", metrics_jsonl=path)
+    records = [json.loads(line) for line in open(path)]
+    assert len(records) == 8  # 4 batches x 2 epochs, log_every=1
+    assert records[0]["epoch"] == 1 and records[0]["batch"] == 1
+    assert records[-1]["epoch"] == 2 and records[-1]["batch"] == 4
+    assert all("loss" in r and "samples_per_s" in r and "step" in r
+               for r in records)
+    # appending keeps history across resumes
+    run_training(_poisoning_step(set()), _state(), _Dataset(8),
+                 batch_size=2, epochs=1, out_dir=str(tmp_path),
+                 export_pth=False, log_every=1, num_workers=0,
+                 model_name="toy", metrics_jsonl=path)
+    assert len(open(path).readlines()) == 12
+
+
 def test_resume_mid_epoch_continues_exact_data_order(tmp_path):
     """Preempt mid-epoch, resume with start_batch (as cli.train --resume
     auto derives it): the combined run sees exactly the uninterrupted

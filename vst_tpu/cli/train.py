@@ -61,6 +61,9 @@ def build_parser():
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--loss-plots-dir",
                    help="write per-epoch loss-curve PNGs (RTNSTV/train.py)")
+    p.add_argument("--metrics-jsonl", metavar="PATH",
+                   help="append one JSON object per logged step (epoch, "
+                        "batch, step, samples/s, every loss term)")
     p.add_argument("--data-format", default="sceneflow",
                    choices=["sceneflow", "videvo"],
                    help="rtnstv: SceneFlow GT flow (active reference path) "
@@ -271,7 +274,7 @@ def main(argv=None):
             loss_plots_dir=args.loss_plots_dir, sharding=sharding,
             save_every_steps=args.save_every_steps,
             recover_nonfinite=not args.no_nan_recovery,
-            start_batch=start_batch)
+            start_batch=start_batch, metrics_jsonl=args.metrics_jsonl)
     except TrainingPreempted as e:
         # clean exit: the resumable checkpoint is on disk; a supervisor
         # restarts this same command with --resume auto

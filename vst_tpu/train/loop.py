@@ -77,6 +77,7 @@ def run_training(
     max_recoveries: int = 3,
     handle_preemption: bool = True,
     start_batch: int = 0,
+    metrics_jsonl: str | None = None,
 ) -> TrainState:
     """Run ``epochs`` epochs of ``step_fn(state, batch)`` over ``dataset``.
 
@@ -108,6 +109,11 @@ def run_training(
     decode cost), so a preempted epoch continues exactly where it left
     off instead of revisiting its earlier batches.  ``cli.train --resume
     auto`` derives it from the checkpointed step counter.
+
+    ``metrics_jsonl``: append one JSON object per logged step (epoch,
+    batch, samples/s, every loss term) — a machine-readable sibling of
+    the console log (the reference's only observability is a tqdm bar,
+    SURVEY.md §5.5).  Appending keeps history across resumes.
     """
 
     def snapshot_of(s):
@@ -163,7 +169,7 @@ def run_training(
             out_dir, model_name, export_pth, log_every, seed, num_workers,
             prefetch, sharding, log_fn, loss_plots_dir, save_every_steps,
             recover_nonfinite, max_recoveries, snapshot_of, restore,
-            persist_point, start_batch)
+            persist_point, start_batch, metrics_jsonl)
     finally:
         for sig, handler in prev_handlers.items():
             # signal.signal returns None for handlers installed outside
@@ -178,7 +184,8 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
                 out_dir, model_name, export_pth, log_every, seed,
                 num_workers, prefetch, sharding, log_fn, loss_plots_dir,
                 save_every_steps, recover_nonfinite, max_recoveries,
-                snapshot_of, restore, persist_point, start_batch=0):
+                snapshot_of, restore, persist_point, start_batch=0,
+                metrics_jsonl=None):
     recoveries = 0
     for epoch in range(epoch_start, epochs + 1):
         sb = start_batch if epoch == epoch_start else 0
@@ -240,6 +247,14 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
                 msg = " ".join(f"{k}={v:.4g}" for k, v in vals.items())
                 log_fn(f"epoch {epoch}/{epochs} batch {i + 1}/{n_batches} "
                        f"({rate:.3g} samples/s) {msg}")
+                if metrics_jsonl:
+                    import json
+
+                    with open(metrics_jsonl, "a") as f:
+                        f.write(json.dumps(
+                            {"epoch": epoch, "batch": i + 1,
+                             "step": int(state.step),
+                             "samples_per_s": round(rate, 4), **vals}) + "\n")
         if loss_plots_dir:
             _save_loss_plot(history, loss_plots_dir, model_name, epoch,
                             batch_size)
