@@ -476,6 +476,19 @@ PATHS = {
 
 def _run(names):
     _enable_compile_cache()
+    # readiness beacon for the retry supervisor: created the moment the
+    # backend answers, so the supervisor can distinguish a backend-init
+    # HANG (kill early, retry — the observed outage mode, where discovery
+    # blocks indefinitely) from a slow cold compile (keep waiting)
+    import os
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    beacon = os.environ.get("VST_BENCH_READY_FILE")
+    if beacon:
+        with open(beacon, "w") as f:
+            f.write(platform)
     for name in names:
         metric, value, unit, vs = PATHS[name]()
         print(json.dumps({
@@ -494,6 +507,7 @@ def _run(names):
 # each attempt must run in a FRESH subprocess.
 _RETRY_DELAYS_S = (20, 60, 120, 240, 480, 600)  # ~25 min total backoff
 _ATTEMPT_TIMEOUT_S = 2400  # cold server-side compiles take minutes
+_INIT_TIMEOUT_S = 420  # backend must answer within this, else it is hung
 _WEDGE_S = 1500  # device-lease wedge after a SIGKILLed client (CLAUDE.md)
 
 
@@ -530,9 +544,39 @@ def main(argv=None):
                   f"retrying in {delay}s", file=sys.stderr, flush=True)
             time.sleep(delay)
         killed_last = False
+        import tempfile
+
+        beacon = os.path.join(tempfile.mkdtemp(), "ready")
+        env = dict(os.environ, VST_BENCH_READY_FILE=beacon)
         proc = subprocess.Popen(
-            cmd, stdout=subprocess.PIPE,
+            cmd, stdout=subprocess.PIPE, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)))
+        # phase 1: the inner process must reach the backend quickly (the
+        # beacon file appears right after jax.devices() returns).  An
+        # init HANG would otherwise eat the whole 40-min attempt budget —
+        # the failure mode of a down tunnel is a block, not an error.
+        t_start = time.time()
+        init_hung = False
+        while not os.path.exists(beacon):
+            if proc.poll() is not None:
+                break  # exited (fast failure) — handled below
+            if time.time() - t_start > _INIT_TIMEOUT_S:
+                init_hung = True
+                break
+            time.sleep(2)
+        if init_hung:
+            proc.terminate()
+            try:
+                out, _ = proc.communicate(timeout=60)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                out, _ = proc.communicate()
+                killed_last = True
+            last_rc = "init-hang"
+            sys.stderr.write(out.decode(errors="replace"))
+            sys.stderr.write(f"# backend init exceeded {_INIT_TIMEOUT_S}s; "
+                             f"killed\n")
+            continue
         try:
             out, _ = proc.communicate(timeout=_ATTEMPT_TIMEOUT_S)
         except subprocess.TimeoutExpired:

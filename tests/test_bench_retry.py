@@ -20,6 +20,10 @@ class _FakeProc:
         self._hang = hang
         self.terminated = False
 
+    def poll(self):
+        # a hung process is still running; everything else exited already
+        return None if (self._hang and not self.terminated) else self.returncode
+
     def communicate(self, timeout=None):
         if self._hang and not self.terminated:
             raise subprocess.TimeoutExpired("bench", timeout)
@@ -41,6 +45,15 @@ def _patch(monkeypatch, procs):
 
     monkeypatch.setattr(subprocess, "Popen", popen)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    # advancing clock: the init-beacon wait loop (and any deadline math)
+    # sees +30s per call, so a "hung" fake trips the init deadline fast
+    clock = {"t": 0.0}
+
+    def fake_time():
+        clock["t"] += 30.0
+        return clock["t"]
+
+    monkeypatch.setattr(bench.time, "time", fake_time)
     return calls
 
 
@@ -92,3 +105,20 @@ def test_inner_flag_bypasses_supervisor(monkeypatch):
                         lambda *a, **k: pytest.fail("spawned a subprocess"))
     bench.main(["--path", "reconet-512", "--inner"])
     assert ran == [1]
+
+
+def test_init_hang_is_cut_short(monkeypatch, capsys):
+    """A backend that BLOCKS during init (the observed outage mode) must be
+    killed at the init deadline, not after the full 40-min attempt budget:
+    the ready-beacon file never appears, so the supervisor terminates the
+    attempt and retries."""
+    hung = _FakeProc(1, b"", hang=True)
+    ok = _FakeProc(0, b'{"metric": "m", "value": 4.0, "unit": "u", '
+                      b'"vs_baseline": 1.0}\n')
+    calls = _patch(monkeypatch, [hung, ok])
+    bench.main(["--path", "reconet-512"])
+    assert hung.terminated
+    assert len(calls) == 2
+    err = capsys.readouterr()
+    assert json.loads(err.out)["value"] == 4.0
+    assert "init exceeded" in err.err
