@@ -89,6 +89,8 @@ bool parse_chunks(int fd, int64_t begin, int64_t end,
     } else if ((std::memcmp(hdr, "00dc", 4) == 0 ||
                 std::memcmp(hdr, "00db", 4) == 0) &&
                size > 0) {
+      if (pos + 8 + static_cast<int64_t>(size) > end)
+        return false;  // truncated payload (partial copy): not a frame
       frames->push_back({pos + 8, static_cast<int64_t>(size)});
     }
     pos += 8 + size + (size & 1);
@@ -250,7 +252,12 @@ int64_t vstvideo_open(const char* path, int64_t* n_frames, int64_t* height,
       break;  // trailing junk is not an error; stop indexing here
     const int64_t seg_end =
         std::min<int64_t>(pos + 8 + le32(hdr + 4), file_size);
-    ok = parse_chunks(fd, pos + 12, seg_end, &video->frames);
+    if (!parse_chunks(fd, pos + 12, seg_end, &video->frames)) {
+      // truncated/corrupt EXTENSION segment (partial copy, killed
+      // writer): every frame indexed up to the bad chunk parsed fully —
+      // serve those rather than rejecting the whole file.
+      break;
+    }
     pos = seg_end + (seg_end & 1);
   }
   if (!ok || video->frames.empty()) return -3;  // shared_ptr closes fd

@@ -80,6 +80,68 @@ class TestRoundTrips:
         again = ckpt.load_state(path, like=like)
         assert int(again.step) == int(state.step) + 8
 
+
+    def test_leftover_new_is_promoted_not_deleted(self, tmp_path,
+                                                  monkeypatch):
+        """A leftover <path>.new is a COMPLETE checkpoint and may be the
+        newest (or only) resumable state: the next save must promote it
+        before writing, so a second crash mid-write can never leave zero
+        (or stale-only) checkpoints behind."""
+        import shutil
+
+        opt = make_optimizer(1e-3)
+        state = create(reconet.init_reconet_sd2(KEY), opt)
+        like = create(reconet.init_reconet_sd2(jax.random.PRNGKey(3)), opt)
+        path = str(tmp_path / "last_state")
+        ckpt.save_state(state, path)
+        newer = state._replace(step=state.step + 7)
+        ckpt.save_state(newer, str(tmp_path / "staging"))
+        shutil.move(str(tmp_path / "staging"), path + ".new")
+
+        # crash DURING the next save's write phase
+        import orbax.checkpoint as ocp
+
+        class Boom(RuntimeError):
+            pass
+
+        def dying_save(self, *a, **k):
+            raise Boom()
+
+        monkeypatch.setattr(ocp.StandardCheckpointer, "save", dying_save)
+        import pytest as _pytest
+        with _pytest.raises(Boom):
+            ckpt.save_state(newer._replace(step=newer.step + 1), path)
+        # the promoted .new survived as <path>: nothing was lost
+        loaded = ckpt.load_state(path, like=like)
+        assert int(loaded.step) == int(state.step) + 7
+
+    def test_leftover_new_without_path_is_promoted(self, tmp_path,
+                                                   monkeypatch):
+        """First-ever save crashed between write and swap (only .new
+        exists): the next save must not rmtree the only checkpoint."""
+        import shutil
+
+        opt = make_optimizer(1e-3)
+        state = create(reconet.init_reconet_sd2(KEY), opt)
+        like = create(reconet.init_reconet_sd2(jax.random.PRNGKey(3)), opt)
+        path = str(tmp_path / "last_state")
+        ckpt.save_state(state, str(tmp_path / "staging"))
+        shutil.move(str(tmp_path / "staging"), path + ".new")
+
+        import orbax.checkpoint as ocp
+
+        class Boom(RuntimeError):
+            pass
+
+        monkeypatch.setattr(ocp.StandardCheckpointer, "save",
+                            lambda self, *a, **k: (_ for _ in ()).throw(Boom()))
+        import pytest as _pytest
+        with _pytest.raises(Boom):
+            ckpt.save_state(state._replace(step=state.step + 1), path)
+        loaded = ckpt.load_state(path, like=like)
+        assert int(loaded.step) == int(state.step)
+
+
     def test_full_state_pickle(self, tmp_path):
         opt = make_optimizer(1e-3)
         state = create(reconet.init_reconet_sd2(KEY), opt)

@@ -181,6 +181,25 @@ class TestNativeVideo:
             np.testing.assert_array_equal(v.read_batch(0, v.n_frames),
                                           ref.read_batch(0, ref.n_frames))
 
+
+    def test_truncated_avix_serves_leading_frames(self, mjpg_avi, tmp_path):
+        """A truncated trailing AVIX segment (partial copy / killed writer)
+        must not reject the file: frames indexed before the truncation
+        point are served."""
+        from vst_tpu.data import video_native
+
+        path, frames = mjpg_avi
+        avix = str(tmp_path / "trunc.avi")
+        self._rewrite_as_avix(path, avix, split=4)
+        # cut the file mid-way through the AVIX segment's chunk list
+        data = open(avix, "rb").read()
+        open(avix, "wb").write(data[:len(data) - 7])
+        with video_native.NativeMJPGVideo(avix) as v:
+            assert 4 <= v.n_frames < len(frames)
+            got = v.read_batch(0, v.n_frames)
+            assert got.shape[0] == v.n_frames
+            assert got.any()  # decoded real pixels, not zeros
+
     def test_close_during_read_is_safe(self, mjpg_avi):
         """vstvideo_close racing an in-flight read_batch must not crash
         (the handle table holds shared_ptrs; close defers destruction)."""

@@ -242,6 +242,41 @@ def test_resume_after_rollback_and_preempt_keeps_data_order(tmp_path):
     assert log1 + log2 == full
 
 
+def test_finite_loss_nan_params_never_persisted(tmp_path, capsys):
+    """A backward-pass overflow can NaN the params one step before any
+    loss shows it: the persist-point guard must check the params too."""
+
+    def step(state, batch):
+        k = int(state.step)
+        bad = jnp.float32(jnp.nan) if k == 3 else jnp.float32(0.0)
+        params = {"w": state.params["w"] + 1.0 + bad}
+        new = TrainState(params=params, opt_state=(), step=state.step + 1)
+        # loss computed from the batch, NOT the params: stays finite
+        return new, {"loss": jnp.float32(1.0)}
+
+    final = run_training(step, _state(), _Dataset(8), batch_size=2,
+                         epochs=1, out_dir=str(tmp_path), export_pth=False,
+                         log_every=0, num_workers=0, model_name="toy")
+    assert "rolled back" in capsys.readouterr().out
+    assert np.all(np.isfinite(np.asarray(final.params["w"])))
+    from vst_tpu.train.checkpoint import load_state
+    saved = load_state(str(tmp_path / "toy_last_state"), like=_state())
+    assert np.all(np.isfinite(np.asarray(saved.params["w"])))
+
+
+def test_snapshot_refreshes_at_log_points(tmp_path, capsys):
+    """Without periodic saves, a passing log check advances the rollback
+    snapshot: a late NaN rolls back ~log_every batches, not the epoch."""
+    final = run_training(_poisoning_step({3}), _state(), _Dataset(8),
+                         batch_size=2, epochs=1, out_dir=str(tmp_path),
+                         export_pth=False, log_every=1, num_workers=0,
+                         model_name="toy")
+    assert "rolled back" in capsys.readouterr().out
+    # steps 0,1,2 passed (w=3 snapshotted at the step-2 log point);
+    # step 3 NaN'd and rolled back to w=3, not the epoch-start w=0
+    assert float(np.asarray(final.params["w"])[0]) == 3.0
+
+
 def test_metrics_jsonl_sink(tmp_path):
     """metrics_jsonl appends one machine-readable record per logged step."""
     import json

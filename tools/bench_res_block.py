@@ -29,7 +29,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from vst_tpu.kernels.res_block import conv3x3_in_stats
+    from vst_tpu.kernels.res_block import residual_block_fused
     from vst_tpu.models import reconet
 
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
@@ -44,26 +44,12 @@ def main():
             v = reconet.residual_block(params, f"res{i}", v)
         return v
 
-    def fused_block(params, name, v):
-        y1, s1 = conv3x3_in_stats(
-            v, params[f"{name}.conv1.conv2d.weight"],
-            params[f"{name}.conv1.conv2d.bias"],
-            chunk_rows=args.chunk_rows)
-        y2, s2 = conv3x3_in_stats(
-            y1, params[f"{name}.conv2.conv2d.weight"],
-            params[f"{name}.conv2.conv2d.bias"],
-            stats_in=s1, gamma=params[f"{name}.in1.weight"],
-            beta=params[f"{name}.in1.bias"], chunk_rows=args.chunk_rows)
-        mean = s2[:, 0][:, None, None, :]
-        var = s2[:, 1][:, None, None, :]
-        g2 = params[f"{name}.in2.weight"].astype(jnp.float32)
-        b2 = params[f"{name}.in2.bias"].astype(jnp.float32)
-        out = (y2.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
-        return (out * g2 + b2 + v.astype(jnp.float32)).astype(v.dtype)
-
     def stack_fused(params, v):
+        # time the SHIPPING kernel path, not a re-implementation — any
+        # future kernel change is then what this bench measures
         for i in range(1, 6):
-            v = fused_block(params, f"res{i}", v)
+            v = residual_block_fused(params, f"res{i}", v,
+                                     chunk_rows=args.chunk_rows)
         return v
 
     def chain(fn):

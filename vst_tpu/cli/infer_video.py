@@ -105,6 +105,12 @@ def main(argv=None):
         import jax.numpy as jnp
 
         size = tuple(args.size or (512, 256))
+        if args.wire == "i420" and (size[0] % 2 or size[1] % 2):
+            import sys
+
+            print(f"warning: --wire i420 needs even dimensions, got "
+                  f"{size[0]}x{size[1]}; using rgb", file=sys.stderr)
+            args.wire = "rgb"
         vgg_params = load_vgg_weights(args.vgg_weights, "vgg19_adaattn")
         style = jnp.asarray(load_image_255(args.style, size)[None])
         stylizer = AdaAttNVideoStylizer(vgg_params, params, style,
@@ -118,6 +124,12 @@ def main(argv=None):
         # uint8 on the wire both ways: decoder-native frames go up, styled
         # uint8 comes down; the jitted stylizers cast/clamp on device.
         wire = args.wire
+        if wire == "i420" and (size[0] % 2 or size[1] % 2):
+            import sys
+
+            print(f"warning: --wire i420 needs even dimensions, got "
+                  f"{size[0]}x{size[1]}; using rgb", file=sys.stderr)
+            wire = "rgb"
         if wire == "i420" and args.weights2:
             import sys
 

@@ -140,8 +140,21 @@ def save_state_orbax(state: TrainState, path: str) -> None:
 
     path = os.path.abspath(path)
     new = path + ".new"
-    if os.path.isdir(new):  # superseded leftover from a crashed swap
-        shutil.rmtree(new)
+    if os.path.isdir(new):
+        # leftover from a crash between write and swap: it is a COMPLETE
+        # checkpoint (orbax only renames finished saves into place) and
+        # may be the newest — or only — resumable state.  Promote it
+        # rather than delete it, so a second crash during the ckptr.save
+        # below can never leave zero checkpoints behind.
+        if os.path.isdir(path):
+            old = path + ".old"
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.replace(path, old)
+            os.replace(new, path)
+            shutil.rmtree(old)
+        else:
+            os.replace(new, path)
     wrapped = {"format_version": np.array(STATE_VERSION, np.int32),
                "state": _to_numpy_tree(state)}
     with ocp.StandardCheckpointer() as ckptr:

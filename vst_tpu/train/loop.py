@@ -150,12 +150,18 @@ def run_training(
         except ValueError:  # pragma: no cover
             sig_name = f"signal {stop['sig']}"
         good = state
-        if recover_nonfinite and not np.isfinite(float(metrics["loss"])):
-            # never persist a non-finite state — but keep the CURRENT step
-            # counter: step tracks batches consumed (the resume data
-            # position), not updates applied, so a rollback must not
-            # rewind it (see the rollback in _epoch_loop)
-            good = restore(snap)._replace(step=state.step)
+        if recover_nonfinite:
+            bad = not np.isfinite(float(metrics["loss"]))
+            if not bad:  # finite loss can still hide NaN'd params
+                host = jax.tree.map(np.asarray, state.params)
+                bad = not all(np.isfinite(leaf).all()
+                              for leaf in jax.tree.leaves(host))
+            if bad:
+                # never persist a non-finite state — but keep the CURRENT
+                # step counter: step tracks batches consumed (the resume
+                # data position), not updates applied, so a rollback must
+                # not rewind it (see the rollback in _epoch_loop)
+                good = restore(snap)._replace(step=state.step)
         ckpt.save_state(good, os.path.join(out_dir,
                                            model_name + "_last_state"))
         raise TrainingPreempted(
@@ -206,10 +212,21 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
             # epoch's last batch, whose state the epoch-end save writes) so
             # a non-finite state is never checkpointed, plus the logging
             # cadence for earlier detection
+            at_persist = is_save or i == n_batches - 1
             if recover_nonfinite and (
-                    is_save or i == n_batches - 1
-                    or (log_every and i % log_every == 0)):
-                if not np.isfinite(float(metrics["loss"])):
+                    at_persist or (log_every and i % log_every == 0)):
+                bad = not np.isfinite(float(metrics["loss"]))
+                if not bad and at_persist:
+                    # a finite loss does NOT imply finite params: a
+                    # backward-pass overflow NaNs the weights one step
+                    # before any loss shows it.  The persist is about to
+                    # fetch the params anyway, so checking them here is
+                    # (nearly) free — and guarantees the docstring's
+                    # "non-finite state is never checkpointed".
+                    host = jax.tree.map(np.asarray, state.params)
+                    bad = not all(np.isfinite(leaf).all()
+                                  for leaf in jax.tree.leaves(host))
+                if bad:
                     recoveries += 1
                     if recoveries > max_recoveries:
                         raise RuntimeError(
@@ -226,6 +243,18 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
                     # after a recovery
                     state = restore(snap)._replace(step=state.step)
                     continue
+                if not is_save and not save_every_steps:
+                    # the check passed at a log point and no periodic
+                    # saves refresh the snapshot: advance it here, so a
+                    # late-epoch NaN rolls back log_every batches, not the
+                    # whole epoch.  (With save_every_steps set, the save
+                    # path below refreshes it instead.)  Adopt only a
+                    # fully-finite state — the loss-only check above can
+                    # miss params a backward overflow has already NaN'd.
+                    fresh = snapshot_of(state)
+                    if all(np.isfinite(leaf).all()
+                           for leaf in jax.tree.leaves(fresh[0].params)):
+                        snap = fresh
             if is_save:
                 # mid-epoch durability (the reference only saves per epoch
                 # and loses partial progress on failure — SURVEY.md §5.3/5.4)
