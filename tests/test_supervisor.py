@@ -1,0 +1,280 @@
+"""Supervised training: crash/hang detection + restart (train/supervisor.py).
+
+The unit tier drives the supervisor with tiny synthetic child commands;
+the slow integration test kills a REAL trainer child mid-epoch with
+os._exit and asserts the restart resumes at the exact data position
+(SURVEY.md §5.3 — the aux subsystem the reference lacks).
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from vst_tpu.train.supervisor import supervise
+
+from tests.test_data import _make_sceneflow_scene
+
+
+def _script(tmp_path, name, body):
+    path = tmp_path / name
+    path.write_text(textwrap.dedent(body))
+    return [sys.executable, str(path)]
+
+
+def _quiet(msg):
+    pass
+
+
+class TestSupervise:
+    def test_success_no_restart(self, tmp_path):
+        cmd = _script(tmp_path, "ok.py", "raise SystemExit(0)")
+        res = supervise(cmd, backoff=0, poll_interval=0.05, log=_quiet)
+        assert (res.returncode, res.restarts, res.hangs) == (0, 0, 0)
+
+    def test_crash_then_success(self, tmp_path):
+        marker = tmp_path / "crashed_once"
+        cmd = _script(tmp_path, "flaky.py", f"""
+            import os, sys
+            m = {str(marker)!r}
+            if not os.path.exists(m):
+                open(m, "w").close()
+                sys.exit(3)
+            sys.exit(0)
+        """)
+        res = supervise(cmd, backoff=0, poll_interval=0.05, log=_quiet)
+        assert (res.returncode, res.restarts, res.hangs) == (0, 1, 0)
+
+    def test_max_restarts_exhausted(self, tmp_path):
+        cmd = _script(tmp_path, "dead.py", "raise SystemExit(2)")
+        res = supervise(cmd, max_restarts=2, backoff=0,
+                        poll_interval=0.05, log=_quiet)
+        assert (res.returncode, res.restarts) == (2, 2)
+
+    @pytest.mark.slow
+    def test_hang_detected_and_restarted(self, tmp_path):
+        """First run never touches the heartbeat → SIGTERM after
+        hang_timeout; second run heartbeats and completes.  (Timeouts are
+        sized for the container's ~2.5s python child startup.)"""
+        marker = tmp_path / "hung_once"
+        hb = tmp_path / "heartbeat"
+        cmd = _script(tmp_path, "hang.py", f"""
+            import os, time
+            m = {str(marker)!r}
+            if not os.path.exists(m):
+                open(m, "w").close()
+                time.sleep(120)   # no heartbeat: the supervisor must act
+            open({str(hb)!r}, "w").close()
+        """)
+        res = supervise(cmd, hang_timeout=8, grace=10, backoff=0,
+                        heartbeat=str(hb), poll_interval=0.1, log=_quiet)
+        assert (res.returncode, res.restarts, res.hangs) == (0, 1, 1)
+
+    @pytest.mark.slow
+    def test_hang_sigkill_when_sigterm_ignored(self, tmp_path):
+        """A child wedged hard enough to ignore SIGTERM is SIGKILLed after
+        the grace period, then restarted."""
+        marker = tmp_path / "hung_once"
+        hb = tmp_path / "heartbeat"
+        cmd = _script(tmp_path, "wedged.py", f"""
+            import os, signal, time
+            m = {str(marker)!r}
+            if not os.path.exists(m):
+                open(m, "w").close()
+                signal.signal(signal.SIGTERM, signal.SIG_IGN)
+                time.sleep(120)
+            open({str(hb)!r}, "w").close()
+        """)
+        res = supervise(cmd, hang_timeout=8, grace=2.0, backoff=0,
+                        heartbeat=str(hb), poll_interval=0.1, log=_quiet)
+        assert (res.returncode, res.restarts, res.hangs) == (0, 1, 1)
+
+    def test_heartbeat_mtime_advances_no_false_positive(self, tmp_path):
+        """A slow-but-alive child that keeps touching the heartbeat is
+        never restarted, even over several hang_timeout windows.  The
+        heartbeat exists before the child starts (as after any restart),
+        so its age spans the child's startup too."""
+        hb = tmp_path / "heartbeat"
+        hb.write_text("x")
+        cmd = _script(tmp_path, "alive.py", f"""
+            import os, time
+            for _ in range(12):
+                now = time.time()
+                os.utime({str(hb)!r}, (now, now))
+                time.sleep(0.4)
+        """)
+        res = supervise(cmd, hang_timeout=4.0, grace=5, backoff=0,
+                        heartbeat=str(hb), poll_interval=0.1, log=_quiet)
+        assert (res.returncode, res.restarts, res.hangs) == (0, 0, 0)
+
+    def test_sigterm_forwarded_and_not_restarted(self, tmp_path):
+        """SIGTERM to the supervisor: forwarded to the child, child's exit
+        code returned, no restart — whole-group preemption behaves like
+        running the trainer bare."""
+        import threading
+
+        ready = tmp_path / "ready"
+        cmd = _script(tmp_path, "term.py", f"""
+            import signal, sys, time
+            def bye(s, f):
+                sys.exit(0)    # checkpoint-then-clean-exit stand-in
+            signal.signal(signal.SIGTERM, bye)
+            open({str(ready)!r}, "w").close()
+            time.sleep(120)
+        """)
+
+        def fire():
+            import time
+
+            while not ready.exists():
+                time.sleep(0.05)
+            os.kill(os.getpid(), signal.SIGTERM)
+
+        t = threading.Thread(target=fire, daemon=True)
+        t.start()
+        res = supervise(cmd, backoff=0, grace=10,
+                        poll_interval=0.05, log=_quiet)
+        t.join(5)
+        assert (res.returncode, res.restarts) == (0, 0)
+
+
+class TestSuperviseCLI:
+    def test_appends_resume_auto_and_heartbeat(self, monkeypatch, tmp_path):
+        from vst_tpu.cli import supervise as cli
+
+        seen = {}
+
+        def fake(cmd, **kw):
+            seen["cmd"] = cmd
+            seen.update(kw)
+
+            class R:
+                returncode, restarts, hangs = 0, 0, 0
+
+            return R()
+
+        monkeypatch.setattr("vst_tpu.train.supervisor.supervise", fake)
+        with pytest.raises(SystemExit) as exc:
+            cli.main(["--hang-timeout", "60", "--",
+                      "--trainer", "rtnstv", "--data", "d", "--style", "s",
+                      "--metrics-jsonl", str(tmp_path / "m.jsonl")])
+        assert exc.value.code == 0
+        assert seen["cmd"][:3] == [sys.executable, "-m", "vst_tpu.cli.train"]
+        assert seen["cmd"][-2:] == ["--resume", "auto"]
+        assert seen["heartbeat"] == str(tmp_path / "m.jsonl")
+        assert seen["hang_timeout"] == 60
+
+    def test_explicit_resume_not_duplicated(self, monkeypatch):
+        from vst_tpu.cli import supervise as cli
+
+        seen = {}
+
+        def fake(cmd, **kw):
+            seen["cmd"] = cmd
+
+            class R:
+                returncode, restarts, hangs = 0, 0, 0
+
+            return R()
+
+        monkeypatch.setattr("vst_tpu.train.supervisor.supervise", fake)
+        with pytest.raises(SystemExit):
+            cli.main(["--", "--trainer", "rtnstv", "--resume", "x.pkl"])
+        assert seen["cmd"].count("--resume") == 1
+
+    def test_hang_timeout_requires_heartbeat(self):
+        from vst_tpu.cli import supervise as cli
+
+        with pytest.raises(SystemExit, match="heartbeat"):
+            cli.main(["--hang-timeout", "60", "--",
+                      "--trainer", "rtnstv", "--data", "d"])
+
+    def test_no_train_args_errors(self):
+        from vst_tpu.cli import supervise as cli
+
+        with pytest.raises(SystemExit, match="no train arguments"):
+            cli.main(["--max-restarts", "1"])
+
+
+@pytest.mark.slow
+class TestSuperviseIntegration:
+    def test_crash_mid_epoch_restart_resumes_exactly(self, tmp_path, rng):
+        """A REAL rtnstv trainer child is os._exit-killed right after its
+        first mid-epoch checkpoint lands; the supervisor restarts it with
+        --resume auto and the second incarnation finishes the run from the
+        exact step it stopped at (metrics steps strictly increase across
+        the crash, final epoch artifacts exist)."""
+        root = str(tmp_path / "sceneflow")
+        _make_sceneflow_scene(os.path.join(root, "monkaa"), rng, 5,
+                              "monkaa")
+        _make_sceneflow_scene(os.path.join(root, "flyingthings3d"), rng, 5,
+                              "ft3d")
+        from PIL import Image
+
+        style = str(tmp_path / "style.png")
+        Image.fromarray(rng.integers(0, 255, (24, 32, 3),
+                                     dtype=np.uint8)).save(style)
+        out_dir = str(tmp_path / "models")
+        metrics = str(tmp_path / "metrics.jsonl")
+        marker = str(tmp_path / "crashed_once")
+
+        # the wrapper runs the real train CLI; on its FIRST incarnation a
+        # watcher thread os._exits the process (no cleanup, no exit code 0)
+        # as soon as the first resumable checkpoint exists
+        wrapper = tmp_path / "crashing_train.py"
+        wrapper.write_text(textwrap.dedent(f"""
+            import os, sys, threading, time
+            marker = {marker!r}
+            if not os.path.exists(marker):
+                open(marker, "w").close()
+                state = os.path.join({out_dir!r}, "rtnstv_last_state")
+                def killer():
+                    while not os.path.isdir(state):
+                        time.sleep(0.1)
+                    time.sleep(0.5)   # let the swap complete
+                    os._exit(137)
+                threading.Thread(target=killer, daemon=True).start()
+            from vst_tpu.cli.train import main
+            main(sys.argv[1:])
+        """))
+        train_args = [
+            "--trainer", "rtnstv", "--data", root, "--style", style,
+            "--out-dir", out_dir, "--epochs", "2", "--batch-size", "2",
+            "--img-size", "24", "32", "--log-every", "1",
+            "--save-every-steps", "1", "--metrics-jsonl", metrics,
+            "--resume", "auto",
+        ]
+        env = dict(os.environ, VST_PLATFORM="cpu",
+                   PYTHONPATH=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
+
+        real_popen = subprocess.Popen
+
+        def run_env(cmd, **kw):
+            return real_popen(cmd, env=env, **kw)
+
+        import unittest.mock as mock
+
+        with mock.patch("vst_tpu.train.supervisor.subprocess.Popen",
+                        run_env):
+            res = supervise([sys.executable, str(wrapper)] + train_args,
+                            backoff=0, poll_interval=0.2, log=_quiet)
+        assert res.returncode == 0
+        assert res.restarts == 1
+        assert os.path.exists(marker)
+
+        # both epochs' artifacts exist
+        files = os.listdir(out_dir)
+        assert any("epoch_2" in f and f.endswith(".npz") for f in files)
+
+        # the metric stream shows monotone data progress across the crash:
+        # steps strictly increase and reach the full 2-epoch step count
+        steps = [json.loads(line)["step"]
+                 for line in open(metrics) if line.strip()]
+        assert steps == sorted(steps)
+        assert steps[-1] >= steps[0] + 2  # progressed past the crash point

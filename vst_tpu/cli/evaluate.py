@@ -34,7 +34,14 @@ def build_parser():
 def _load_uint8(path):
     from PIL import Image
 
-    return np.asarray(Image.open(path).convert("RGB"))
+    try:
+        return np.asarray(Image.open(path).convert("RGB"))
+    except FileNotFoundError:
+        # the defaults mirror the reference's ./results/* paths
+        # (AdaAttN/eval.py:312-320); missing files should read as "pass
+        # -p0/-p1", not as a traceback
+        raise SystemExit(f"error: image not found: {path} "
+                         f"(pass -p0/-p1 explicitly)")
 
 
 def main(argv=None):
@@ -47,6 +54,15 @@ def main(argv=None):
     # moment/uni/entropy read only path0)
     img1 = (None if args.mode in ("moment", "uni", "entropy")
             else _load_uint8(args.path1))
+    if (img1 is not None and img0.shape != img1.shape
+            and args.mode in ("ssim", "lpips")):
+        # these two compare pixel-aligned maps, so the reference crashes on
+        # mismatched shapes too (raw cv2.imread pairs, AdaAttN/eval.py:
+        # 226-239); fail readably.  kl/gram/sifid reduce to histograms /
+        # C×C grams / per-image stats and accept differing sizes.
+        raise SystemExit(
+            f"error: image sizes differ ({img0.shape[:2]} vs "
+            f"{img1.shape[:2]}); resize to a common size for '{args.mode}'")
 
     if args.mode == "lpips":
         from vst_tpu.cli.common import load_weights

@@ -1,0 +1,86 @@
+"""Supervised training: crash/hang detection + automatic restart.
+
+    python -m vst_tpu.cli.supervise [supervisor flags] -- <train args...>
+
+Everything after ``--`` is passed to ``python -m vst_tpu.cli.train`` in a
+child process.  The supervisor appends ``--resume auto`` (unless a
+``--resume`` is already given) so every restart continues from the last
+resumable checkpoint at the exact epoch/batch it stopped, and restarts the
+child on nonzero exit or on a stalled heartbeat (see
+``vst_tpu.train.supervisor``).  Example:
+
+    python -m vst_tpu.cli.supervise --max-restarts 5 --hang-timeout 1800 \\
+        -- --trainer rtnstv --data /data/sceneflow --style candy.jpg \\
+           --out-dir models --save-every-steps 200 \\
+           --metrics-jsonl models/rtnstv_metrics.jsonl
+
+The heartbeat defaults to the child's ``--metrics-jsonl`` file; pair
+``--hang-timeout`` with a ``--log-every`` small enough that the file
+advances every few steps, and leave headroom for the first compile.
+
+This is the aux subsystem the reference lacks outright (SURVEY.md §5.3:
+"failure detection / elastic recovery — absent").
+"""
+
+import argparse
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="vst_tpu.cli.supervise",
+        description="Run vst_tpu.cli.train under crash/hang supervision.")
+    p.add_argument("--max-restarts", type=int, default=5)
+    p.add_argument("--hang-timeout", type=float, default=0.0, metavar="S",
+                   help="restart when the heartbeat file is older than S "
+                        "seconds (0 = no hang detection). Must exceed the "
+                        "slowest logging gap INCLUDING first compile")
+    p.add_argument("--grace", type=float, default=30.0, metavar="S",
+                   help="seconds between SIGTERM (child checkpoints and "
+                        "exits) and SIGKILL when handling a hang")
+    p.add_argument("--backoff", type=float, default=5.0, metavar="S",
+                   help="restart delay; doubles per restart (cap 300s)")
+    p.add_argument("--heartbeat", metavar="PATH",
+                   help="file whose mtime is the liveness signal "
+                        "(default: the child's --metrics-jsonl)")
+    p.add_argument("train_args", nargs=argparse.REMAINDER,
+                   help="-- followed by vst_tpu.cli.train arguments")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    train_args = list(args.train_args)
+    if train_args and train_args[0] == "--":
+        train_args = train_args[1:]
+    if not train_args:
+        raise SystemExit("error: no train arguments given (use `-- "
+                         "--trainer ... --data ...`)")
+
+    if "--resume" not in train_args:
+        train_args += ["--resume", "auto"]
+
+    heartbeat = args.heartbeat
+    if heartbeat is None and "--metrics-jsonl" in train_args:
+        heartbeat = train_args[train_args.index("--metrics-jsonl") + 1]
+    if args.hang_timeout and not heartbeat:
+        raise SystemExit(
+            "error: --hang-timeout needs a heartbeat; give the trainer "
+            "--metrics-jsonl (with a small --log-every) or pass "
+            "--heartbeat explicitly")
+
+    from vst_tpu.train.supervisor import supervise
+
+    cmd = [sys.executable, "-m", "vst_tpu.cli.train"] + train_args
+    res = supervise(
+        cmd, max_restarts=args.max_restarts,
+        hang_timeout=args.hang_timeout, grace=args.grace,
+        backoff=args.backoff, heartbeat=heartbeat)
+    if res.restarts or res.hangs:
+        print(f"supervisor: done rc={res.returncode} "
+              f"(restarts={res.restarts}, hangs={res.hangs})")
+    raise SystemExit(res.returncode)
+
+
+if __name__ == "__main__":
+    main()

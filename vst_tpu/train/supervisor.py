@@ -1,0 +1,138 @@
+"""Failure detection and automatic restart for training runs.
+
+The reference has no failure-recovery story (SURVEY.md §5.3): a crashed or
+wedged trainer silently loses everything since the last manual restart and
+nobody is told.  vst_tpu's training loop already makes restarts cheap —
+SIGTERM → finish the in-flight step → checkpoint → clean exit 0
+(``train/loop.py`` preemption path), and ``--resume auto`` restores the
+exact epoch/batch data position — so supervision reduces to DETECTION plus
+restart policy, which is what this module provides:
+
+- **crash**: the child exits nonzero → restart it (the child's own
+  ``--resume auto`` picks up the last resumable checkpoint) after an
+  exponential backoff, up to ``max_restarts`` times.
+- **hang**: the heartbeat file (the trainer's ``--metrics-jsonl`` sink, or
+  any path the child keeps touching) stops advancing for ``hang_timeout``
+  seconds → SIGTERM so the child can checkpoint and exit cleanly, SIGKILL
+  after ``grace`` seconds if it cannot, then restart.  Detects wedged
+  device leases / stuck RPCs that no exit code ever reports.
+- **success**: the child exits 0 → done.  Clean preemption also exits 0
+  (deliberately: on a real preemption this supervisor's host is going away
+  with the child, and an external scheduler owns the next restart).
+
+The supervisor holds no JAX state of its own — it is a plain process
+babysitter, safe to run on the TPU VM host beside the training process.
+"""
+
+import os
+import shlex
+import signal
+import subprocess
+import sys
+import time
+
+
+class SuperviseResult:
+    def __init__(self, returncode, restarts, hangs):
+        self.returncode = returncode
+        self.restarts = restarts
+        self.hangs = hangs
+
+
+def _heartbeat_age(path, fallback_since):
+    """Seconds since the heartbeat file last advanced (mtime), or since
+    ``fallback_since`` while the file does not exist yet (covers the
+    child's startup/compile window)."""
+    try:
+        return time.time() - os.path.getmtime(path)
+    except OSError:
+        return time.time() - fallback_since
+
+
+def supervise(cmd, *, max_restarts=5, hang_timeout=0.0, grace=30.0,
+              backoff=5.0, max_backoff=300.0, heartbeat=None,
+              poll_interval=0.5, log=print):
+    """Run ``cmd`` (a full argv list), restarting on crash or hang.
+
+    Returns a :class:`SuperviseResult`; ``returncode`` is 0 on eventual
+    success, the last child's exit code when ``max_restarts`` is
+    exhausted.  ``hang_timeout`` of 0 disables hang detection (set it
+    comfortably above the worst step latency INCLUDING the first
+    compile).  SIGTERM/SIGINT to the supervisor are forwarded to the
+    child, which is then waited for and its exit code returned without a
+    restart — so a preemption of the whole process group behaves exactly
+    like running the trainer bare.
+    """
+    restarts = 0
+    hangs = 0
+    stop = {"sig": None}
+
+    def _forward(signum, frame):
+        stop["sig"] = signum
+
+    prev = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev[sig] = signal.signal(sig, _forward)
+        except (ValueError, OSError):  # not the main thread
+            pass
+
+    try:
+        while True:
+            started = time.time()
+            log(f"supervisor: starting {shlex.join(cmd)}")
+            child = subprocess.Popen(cmd, start_new_session=True)
+            hung = False
+            while True:
+                rc = child.poll()
+                if rc is not None:
+                    break
+                if stop["sig"] is not None:
+                    log("supervisor: forwarding "
+                        f"{signal.Signals(stop['sig']).name} to child "
+                        f"{child.pid}")
+                    child.send_signal(signal.SIGTERM)
+                    try:
+                        rc = child.wait(timeout=grace)
+                    except subprocess.TimeoutExpired:
+                        child.kill()
+                        rc = child.wait()
+                    return SuperviseResult(rc, restarts, hangs)
+                if hang_timeout and heartbeat and (
+                        _heartbeat_age(heartbeat, started) > hang_timeout):
+                    hung = True
+                    hangs += 1
+                    log(f"supervisor: no heartbeat on {heartbeat} for "
+                        f">{hang_timeout:g}s; sending SIGTERM (child gets "
+                        f"{grace:g}s to checkpoint)")
+                    child.send_signal(signal.SIGTERM)
+                    try:
+                        rc = child.wait(timeout=grace)
+                    except subprocess.TimeoutExpired:
+                        log("supervisor: child ignored SIGTERM; SIGKILL")
+                        child.kill()
+                        rc = child.wait()
+                    break
+                time.sleep(poll_interval)
+
+            if rc == 0 and not hung:
+                log("supervisor: child exited cleanly")
+                return SuperviseResult(0, restarts, hangs)
+            if restarts >= max_restarts:
+                log(f"supervisor: rc={rc} and {max_restarts} restarts "
+                    f"exhausted; giving up")
+                return SuperviseResult(rc if rc != 0 else 1, restarts, hangs)
+            restarts += 1
+            delay = min(backoff * (2 ** (restarts - 1)), max_backoff)
+            why = "hang" if hung else f"rc={rc}"
+            log(f"supervisor: child died ({why}); restart "
+                f"{restarts}/{max_restarts} in {delay:g}s")
+            deadline = time.time() + delay
+            while time.time() < deadline:
+                if stop["sig"] is not None:
+                    return SuperviseResult(rc, restarts, hangs)
+                time.sleep(min(poll_interval, 0.2))
+    finally:
+        for sig, handler in prev.items():
+            signal.signal(sig, signal.SIG_DFL if handler is None
+                          else handler)
