@@ -73,6 +73,20 @@ def build_parser():
                    help="shard the batch across N devices (0 = off, "
                         "-1 = all available); params are replicated and "
                         "XLA inserts the gradient all-reduce over ICI")
+    p.add_argument("--multihost", nargs="?", const="auto",
+                   metavar="COORD:PORT",
+                   help="multi-host training: start the JAX distributed "
+                        "runtime and mesh over ALL hosts' devices. With no "
+                        "value, everything is auto-detected from the TPU "
+                        "pod metadata; otherwise pass process 0's "
+                        "coordinator address plus --num-processes/"
+                        "--process-id. Every host runs this same command "
+                        "and loads only its slice of each global batch; "
+                        "process 0 owns checkpoints/metrics (assumes a "
+                        "shared --out-dir for resume). Implies "
+                        "--data-parallel -1 unless given")
+    p.add_argument("--num-processes", type=int, help="see --multihost")
+    p.add_argument("--process-id", type=int, help="see --multihost")
     p.add_argument("--platform", choices=["cpu", "tpu"],
                    help="pin the JAX backend (default: auto; also "
                         "honours VST_PLATFORM)")
@@ -116,6 +130,18 @@ def main(argv=None):
     from vst_tpu.cli.common import setup_jax
 
     setup_jax(args.platform)
+    if args.multihost:
+        import jax
+
+        from vst_tpu.parallel.multihost import initialize
+
+        initialize(None if args.multihost == "auto" else args.multihost,
+                   args.num_processes, args.process_id)
+        if not args.data_parallel:
+            args.data_parallel = -1
+        print(f"multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global / "
+              f"{len(jax.local_devices())} local devices")
     t = args.trainer
     name = args.name or t
     if t in PER_STYLE and not args.style:
@@ -249,7 +275,8 @@ def main(argv=None):
     if args.data_parallel:
         from jax.sharding import NamedSharding, PartitionSpec
 
-        from vst_tpu.parallel import make_mesh, replicate
+        from vst_tpu.parallel import make_mesh
+        from vst_tpu.parallel.multihost import replicate_global
 
         n = args.data_parallel if args.data_parallel > 0 else None
         mesh = make_mesh(n, ("data",))
@@ -258,7 +285,7 @@ def main(argv=None):
             raise SystemExit(
                 f"--batch-size {cfg.batch_size} must be divisible by the "
                 f"{n_dev}-device data mesh")
-        state = replicate(mesh, state)
+        state = replicate_global(mesh, state)
         # dim 0 (batch) sharded on "data", all other dims replicated —
         # a partial PartitionSpec applies across every batch-leaf rank
         sharding = NamedSharding(mesh, PartitionSpec("data"))

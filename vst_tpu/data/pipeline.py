@@ -22,7 +22,8 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, num_workers: int = 4, drop_last: bool = True,
-                 epoch: int = 0, start_batch: int = 0):
+                 epoch: int = 0, start_batch: int = 0,
+                 process_id: int = 0, num_processes: int = 1):
         """``epoch`` seeds the dataset's per-item randomness (set_epoch) for
         the first iteration; callers constructing one loader per epoch (e.g.
         run_training) pass the epoch number so crops/style picks differ
@@ -32,7 +33,18 @@ class BatchLoader:
         seed-derived) shuffle at the INDEX level — no samples are decoded
         for skipped batches.  Mid-epoch resume after preemption: the
         remaining iteration is exactly the tail of the uninterrupted
-        epoch."""
+        epoch.
+
+        ``process_id``/``num_processes``: multi-host data loading.
+        ``batch_size`` stays the GLOBAL batch; each process decodes only
+        its ``batch_size/num_processes`` slice of every global batch (the
+        shuffle is seed-derived, so all processes agree on the global
+        order with zero communication).  Batch count, start_batch, and
+        epoch semantics are all in GLOBAL terms, so mid-epoch resume and
+        metrics are process-count independent."""
+        if batch_size % num_processes:
+            raise ValueError(f"batch_size {batch_size} must divide by "
+                             f"num_processes {num_processes}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -41,6 +53,8 @@ class BatchLoader:
         self.drop_last = drop_last
         self._epoch = epoch
         self.start_batch = start_batch
+        self.process_id = process_id
+        self.num_processes = num_processes
 
     def __len__(self):
         n = len(self.dataset)
@@ -63,6 +77,10 @@ class BatchLoader:
         try:
             for b in range(first, n_batches):
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                if self.num_processes > 1:
+                    lb = self.batch_size // self.num_processes
+                    idxs = idxs[self.process_id * lb:
+                                (self.process_id + 1) * lb]
                 if pool is not None:
                     samples = list(pool.map(self.dataset.__getitem__, idxs))
                 else:
@@ -82,13 +100,22 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
 
     ``sharding``: optional ``jax.sharding.Sharding`` (e.g. a batch-sharded
     NamedSharding for data-parallel training); default places on the default
-    device.
+    device.  Under a multi-process runtime (``jax.process_count() > 1``)
+    each process's batches are treated as HOST-LOCAL shards of the global
+    batch and assembled with ``parallel.multihost.put_global_batch``.
     """
     import jax
+
+    multi = sharding is not None and jax.process_count() > 1
+    if multi:
+        from vst_tpu.parallel.multihost import put_global_batch
 
     def put(batch):
         if sharding is None:
             return jax.tree.map(jax.device_put, batch)
+        if multi:
+            return jax.tree.map(
+                lambda x: put_global_batch(sharding, x), batch)
         return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
     queue = collections.deque()

@@ -157,7 +157,18 @@ def save_state_orbax(state: TrainState, path: str) -> None:
             os.replace(new, path)
     wrapped = {"format_version": np.array(STATE_VERSION, np.int32),
                "state": _to_numpy_tree(state)}
-    with ocp.StandardCheckpointer() as ckptr:
+    kwargs = {}
+    if jax.process_count() > 1:
+        # multi-host training saves from the primary process ONLY (the
+        # tree is host numpy by here — train/loop.py gates on _primary).
+        # Orbax's default options barrier across ALL processes inside
+        # save(), which deadlocks when the others never call it; scope
+        # the barrier to the calling process instead.
+        me = jax.process_index()
+        kwargs["multiprocessing_options"] = ocp.options.MultiprocessingOptions(
+            primary_host=me, active_processes={me},
+            barrier_sync_key_prefix=f"vst_save_p{me}")
+    with ocp.StandardCheckpointer(**kwargs) as ckptr:
         ckptr.save(new, wrapped)
     if os.path.isdir(path):
         shutil.rmtree(path)

@@ -41,6 +41,13 @@ def _save_loss_plot(history, out_dir, name, epoch, batch_size):
     plt.close()
 
 
+def _primary():
+    """True on the process that owns checkpoints/metrics (multi-host runs
+    start one process per TPU host — parallel/multihost.py; single-process
+    runs are trivially primary)."""
+    return jax.process_index() == 0
+
+
 class TrainingPreempted(RuntimeError):
     """Raised by ``run_training`` after a clean preemption checkpoint.
 
@@ -125,6 +132,14 @@ def run_training(
     def restore(snap):
         host, shardings = snap
         try:
+            if jax.process_count() > 1:
+                # device_put can't target cross-process shardings; every
+                # DP state leaf is replicated (host-complete), so each
+                # process re-places its full local copy
+                return jax.tree.map(
+                    lambda x, s: jax.make_array_from_process_local_data(
+                        s, np.asarray(x), np.shape(x)),
+                    host, shardings)
             return jax.device_put(host, shardings)
         except Exception:
             return jax.tree.map(jnp.asarray, host)
@@ -162,8 +177,9 @@ def run_training(
                 # data position), not updates applied, so a rollback must
                 # not rewind it (see the rollback in _epoch_loop)
                 good = restore(snap)._replace(step=state.step)
-        ckpt.save_state(good, os.path.join(out_dir,
-                                           model_name + "_last_state"))
+        if _primary():
+            ckpt.save_state(good, os.path.join(out_dir,
+                                               model_name + "_last_state"))
         raise TrainingPreempted(
             f"{sig_name} at epoch {epoch} batch {i + 1}: resumable state "
             f"saved to {model_name}_last_state", good)
@@ -193,11 +209,17 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
                 snapshot_of, restore, persist_point, start_batch=0,
                 metrics_jsonl=None):
     recoveries = 0
+    primary = _primary()
     for epoch in range(epoch_start, epochs + 1):
         sb = start_batch if epoch == epoch_start else 0
+        # multi-host: every process decodes only its slice of each global
+        # batch (the seed-derived shuffle keeps all processes in agreement
+        # on the global order with zero communication)
         loader = BatchLoader(dataset, batch_size, shuffle=True,
                              seed=seed + epoch, num_workers=num_workers,
-                             epoch=epoch, start_batch=sb)
+                             epoch=epoch, start_batch=sb,
+                             process_id=jax.process_index(),
+                             num_processes=jax.process_count())
         n_batches = len(loader)
         t0 = time.time()
         history: dict[str, list] = {}
@@ -263,12 +285,14 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
                     # snapshot and the save (save_state's np.asarray is a
                     # no-op on numpy leaves)
                     snap = snapshot_of(state)
-                    ckpt.save_state(snap[0], os.path.join(
-                        out_dir, model_name + "_last_state"))
-                else:
+                    if primary:
+                        ckpt.save_state(snap[0], os.path.join(
+                            out_dir, model_name + "_last_state"))
+                elif primary:
                     ckpt.save_state(state, os.path.join(
                         out_dir, model_name + "_last_state"))
-            if log_every and (i % log_every == 0 or i == n_batches - 1):
+            if primary and log_every and (i % log_every == 0
+                                          or i == n_batches - 1):
                 vals = {k: float(v) for k, v in metrics.items()}
                 for k, v in vals.items():
                     history.setdefault(k, []).append(v)
@@ -284,15 +308,18 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
                             {"epoch": epoch, "batch": i + 1,
                              "step": int(state.step),
                              "samples_per_s": round(rate, 4), **vals}) + "\n")
-        if loss_plots_dir:
+        if primary and loss_plots_dir:
             _save_loss_plot(history, loss_plots_dir, model_name, epoch,
                             batch_size)
 
-        name = ckpt.epoch_checkpoint_name(model_name, epoch, batch_size)
-        params_host = {k: np.asarray(v) for k, v in state.params.items()}
-        ckpt.save_params(params_host, os.path.join(out_dir, name + ".npz"))
-        ckpt.save_state(state, os.path.join(out_dir,
-                                            model_name + "_last_state"))
-        if export_pth:
-            ckpt.export_pth(params_host, os.path.join(out_dir, name + ".pth"))
+        if primary:
+            name = ckpt.epoch_checkpoint_name(model_name, epoch, batch_size)
+            params_host = {k: np.asarray(v) for k, v in state.params.items()}
+            ckpt.save_params(params_host,
+                             os.path.join(out_dir, name + ".npz"))
+            ckpt.save_state(state, os.path.join(out_dir,
+                                                model_name + "_last_state"))
+            if export_pth:
+                ckpt.export_pth(params_host,
+                                os.path.join(out_dir, name + ".pth"))
     return state
