@@ -86,6 +86,42 @@ class TestSingleProcessFallbacks:
         assert len(out["w"].sharding.device_set) == 4
 
 
+class TestNonPrimaryProcess:
+    def test_trains_but_writes_nothing(self, tmp_path, monkeypatch):
+        """On a non-primary process run_training must run every step (the
+        jitted step is collective in multi-host runs) yet write no
+        checkpoints, plots, or metric lines — process 0 owns those."""
+        import jax.numpy as jnp
+
+        from vst_tpu.train import loop as train_loop
+        from vst_tpu.train.state import TrainState
+
+        monkeypatch.setattr(train_loop, "_primary", lambda: False)
+
+        class _DS:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                return np.full((2, 2), float(i), np.float32)
+
+        def step(state, batch):
+            new = TrainState(params={"w": state.params["w"] + 1.0},
+                             opt_state=(), step=state.step + 1)
+            return new, {"loss": jnp.sum(new.params["w"])}
+
+        metrics = str(tmp_path / "m.jsonl")
+        final = train_loop.run_training(
+            step, TrainState(params={"w": jnp.zeros((2,))}, opt_state=(),
+                             step=jnp.zeros((), jnp.int32)),
+            _DS(), batch_size=2, epochs=1, out_dir=str(tmp_path / "out"),
+            export_pth=False, log_every=1, num_workers=0,
+            save_every_steps=1, model_name="toy", metrics_jsonl=metrics)
+        assert int(final.step) == 4          # all batches consumed
+        assert os.listdir(tmp_path / "out") == []
+        assert not os.path.exists(metrics)
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
