@@ -60,6 +60,12 @@ class TestProcessShardedLoader:
         with pytest.raises(ValueError, match="divide"):
             BatchLoader(_Range(12), 5, num_processes=2)
 
+    def test_drop_last_false_rejected(self):
+        """A short final batch would slice unequal per-process shards and
+        break fixed-shape global assembly — reject it up front."""
+        with pytest.raises(ValueError, match="drop_last"):
+            BatchLoader(_Range(10), 4, num_processes=2, drop_last=False)
+
 
 class TestSingleProcessFallbacks:
     def test_put_global_batch_single_process(self):

@@ -58,18 +58,28 @@ class TestSupervise:
 
     @pytest.mark.slow
     def test_hang_detected_and_restarted(self, tmp_path):
-        """First run never touches the heartbeat → SIGTERM after
-        hang_timeout; second run heartbeats and completes.  (Timeouts are
-        sized for the container's ~2.5s python child startup.)"""
+        """First run leaves the heartbeat STALE → SIGTERM after
+        hang_timeout; the restarted child must NOT inherit the stale mtime
+        (age is floored at child start) — it heartbeats and completes.
+        (Timeouts are sized for the container's ~2.5s python child
+        startup.)"""
+        import time
+
         marker = tmp_path / "hung_once"
         hb = tmp_path / "heartbeat"
+        # pre-existing heartbeat from an "earlier run", already old: a
+        # naive mtime age would declare every child hung instantly
+        hb.write_text("x")
+        old = time.time() - 3600
+        os.utime(hb, (old, old))
         cmd = _script(tmp_path, "hang.py", f"""
             import os, time
             m = {str(marker)!r}
             if not os.path.exists(m):
                 open(m, "w").close()
-                time.sleep(120)   # no heartbeat: the supervisor must act
-            open({str(hb)!r}, "w").close()
+                time.sleep(120)   # heartbeat stays stale: supervisor acts
+            now = time.time()
+            os.utime({str(hb)!r}, (now, now))
         """)
         res = supervise(cmd, hang_timeout=8, grace=10, backoff=0,
                         heartbeat=str(hb), poll_interval=0.1, log=_quiet)
@@ -103,12 +113,12 @@ class TestSupervise:
         hb.write_text("x")
         cmd = _script(tmp_path, "alive.py", f"""
             import os, time
-            for _ in range(12):
+            for _ in range(16):
                 now = time.time()
                 os.utime({str(hb)!r}, (now, now))
-                time.sleep(0.4)
+                time.sleep(0.3)
         """)
-        res = supervise(cmd, hang_timeout=4.0, grace=5, backoff=0,
+        res = supervise(cmd, hang_timeout=8.0, grace=5, backoff=0,
                         heartbeat=str(hb), poll_interval=0.1, log=_quiet)
         assert (res.returncode, res.restarts, res.hangs) == (0, 0, 0)
 
@@ -186,6 +196,46 @@ class TestSuperviseCLI:
         with pytest.raises(SystemExit):
             cli.main(["--", "--trainer", "rtnstv", "--resume", "x.pkl"])
         assert seen["cmd"].count("--resume") == 1
+
+        # --resume=PATH (equals form) must also suppress the auto-append,
+        # or the appended "--resume auto" silently overrides it (argparse
+        # last-wins)
+        with pytest.raises(SystemExit):
+            cli.main(["--", "--trainer", "rtnstv", "--resume=x.pkl"])
+        assert seen["cmd"][-2:] != ["--resume", "auto"]
+
+    def test_metrics_jsonl_equals_form_derives_heartbeat(self, monkeypatch):
+        from vst_tpu.cli import supervise as cli
+
+        seen = {}
+
+        def fake(cmd, **kw):
+            seen.update(kw)
+
+            class R:
+                returncode, restarts, hangs = 0, 0, 0
+
+            return R()
+
+        monkeypatch.setattr("vst_tpu.train.supervisor.supervise", fake)
+        with pytest.raises(SystemExit):
+            cli.main(["--hang-timeout", "60", "--", "--trainer", "rtnstv",
+                      "--metrics-jsonl=m.jsonl"])
+        assert seen["heartbeat"] == "m.jsonl"
+
+    def test_metrics_jsonl_missing_value_is_usage_error(self):
+        from vst_tpu.cli import supervise as cli
+
+        with pytest.raises(SystemExit, match="heartbeat"):
+            cli.main(["--hang-timeout", "60", "--", "--trainer", "rtnstv",
+                      "--metrics-jsonl"])
+
+    def test_multihost_hang_timeout_needs_explicit_heartbeat(self):
+        from vst_tpu.cli import supervise as cli
+
+        with pytest.raises(SystemExit, match="per-host"):
+            cli.main(["--hang-timeout", "60", "--", "--trainer", "rtnstv",
+                      "--multihost", "--metrics-jsonl", "m.jsonl"])
 
     def test_hang_timeout_requires_heartbeat(self):
         from vst_tpu.cli import supervise as cli

@@ -48,6 +48,21 @@ def build_parser():
     return p
 
 
+def _find_option(argv, name):
+    """Return (present, value) for ``name`` handling both ``--opt value``
+    and ``--opt=value`` forms (value None when absent, trailing, or
+    followed by another flag)."""
+    for i, tok in enumerate(argv):
+        if tok == name:
+            nxt = argv[i + 1] if i + 1 < len(argv) else None
+            if nxt is not None and nxt.startswith("--"):
+                nxt = None
+            return True, nxt
+        if tok.startswith(name + "="):
+            return True, tok[len(name) + 1:]
+    return False, None
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     train_args = list(args.train_args)
@@ -57,17 +72,34 @@ def main(argv=None):
         raise SystemExit("error: no train arguments given (use `-- "
                          "--trainer ... --data ...`)")
 
-    if "--resume" not in train_args:
-        train_args += ["--resume", "auto"]
-
+    multihost, _ = _find_option(train_args, "--multihost")
     heartbeat = args.heartbeat
-    if heartbeat is None and "--metrics-jsonl" in train_args:
-        heartbeat = train_args[train_args.index("--metrics-jsonl") + 1]
+    if heartbeat is None and not multihost:
+        # derive BEFORE appending --resume, so an appended flag can never
+        # masquerade as the metrics path
+        _, heartbeat = _find_option(train_args, "--metrics-jsonl")
+
+    has_resume, _ = _find_option(train_args, "--resume")
+    if not has_resume:
+        train_args += ["--resume", "auto"]
     if args.hang_timeout and not heartbeat:
+        if multihost:
+            # non-primary hosts never write --metrics-jsonl, so deriving
+            # the heartbeat from it would kill healthy trainers there
+            raise SystemExit(
+                "error: --hang-timeout with a --multihost child needs an "
+                "explicit per-host --heartbeat (the metrics sink only "
+                "advances on the primary host)")
         raise SystemExit(
             "error: --hang-timeout needs a heartbeat; give the trainer "
             "--metrics-jsonl (with a small --log-every) or pass "
             "--heartbeat explicitly")
+    if multihost:
+        print("supervisor: NOTE --multihost child — supervision is "
+              "per-host; a restart only rejoins the collective job if "
+              "every host's trainer died and every host's supervisor "
+              "restarts it (partial restarts block in "
+              "jax.distributed.initialize)", flush=True)
 
     from vst_tpu.train.supervisor import supervise
 

@@ -45,6 +45,11 @@ class BatchLoader:
         if batch_size % num_processes:
             raise ValueError(f"batch_size {batch_size} must divide by "
                              f"num_processes {num_processes}")
+        if num_processes > 1 and not drop_last:
+            # a short final batch would slice unequal/empty per-process
+            # shards and break the fixed-shape global batch assembly
+            raise ValueError("drop_last=False is incompatible with "
+                             "multi-process loading")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle

@@ -44,8 +44,11 @@ def _save_loss_plot(history, out_dir, name, epoch, batch_size):
 def _primary():
     """True on the process that owns checkpoints/metrics (multi-host runs
     start one process per TPU host — parallel/multihost.py; single-process
-    runs are trivially primary)."""
-    return jax.process_index() == 0
+    runs are trivially primary).  Thin seam over multihost.is_primary so
+    tests can monkeypatch the loop's view of ownership."""
+    from vst_tpu.parallel.multihost import is_primary
+
+    return is_primary()
 
 
 class TrainingPreempted(RuntimeError):

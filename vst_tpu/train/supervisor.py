@@ -39,14 +39,19 @@ class SuperviseResult:
         self.hangs = hangs
 
 
-def _heartbeat_age(path, fallback_since):
-    """Seconds since the heartbeat file last advanced (mtime), or since
-    ``fallback_since`` while the file does not exist yet (covers the
-    child's startup/compile window)."""
+def _heartbeat_age(path, child_started):
+    """Seconds since the heartbeat last advanced — measured from the LATER
+    of the file's mtime and the current child's start time.  The floor at
+    ``child_started`` covers both a file that does not exist yet and a
+    STALE file left by a previous (hung or resumed) run: without it, a
+    fresh child would inherit the old mtime and be declared hung on the
+    first poll, turning one real hang into a kill loop that burns every
+    restart before the child can compile."""
     try:
-        return time.time() - os.path.getmtime(path)
+        since = max(os.path.getmtime(path), child_started)
     except OSError:
-        return time.time() - fallback_since
+        since = child_started
+    return time.time() - since
 
 
 def supervise(cmd, *, max_restarts=5, hang_timeout=0.0, grace=30.0,
