@@ -529,23 +529,55 @@ def main(argv=None):
         _run(names)
         return
 
+    # Each path is supervised in its OWN fresh subprocess: a multi-path run
+    # (--path all) would otherwise funnel ~24 paths through one attempt's
+    # 40-min budget and lose everything already measured when the attempt
+    # is SIGTERMed mid-run.  Backend health carries across paths — once a
+    # path has reached the backend, later paths retry on a short schedule
+    # (their failures are bench bugs, not tunnel outages), and if the very
+    # first path exhausts its budget without the backend ever answering,
+    # the remaining paths are guaranteed failures and are skipped.
+    state = {"killed_last": False, "backend_seen": False}
+    failed = []
+    for name in names:
+        delays = ((0, 20, 60, 120) if state["backend_seen"]
+                  else (0,) + _RETRY_DELAYS_S)
+        if not _supervise_one(name, delays, state):
+            failed.append(name)
+            if not state["backend_seen"]:
+                raise SystemExit(
+                    f"bench: backend never answered; failed at first path "
+                    f"{name!r}, skipping {len(names) - 1} remaining")
+    if failed:
+        raise SystemExit(f"bench: paths failed: {', '.join(failed)}")
+
+
+def _supervise_one(name, delays, state):
+    """Run one bench path in supervised fresh subprocesses with retries.
+
+    Returns True on success (stdout already forwarded).  Sets
+    ``state['backend_seen']`` when any attempt's inner process reaches the
+    backend (readiness beacon), and carries ``state['killed_last']`` (a
+    SIGKILLed axon client wedges the device lease ~25 min) across calls.
+    """
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
     cmd = [sys.executable, os.path.abspath(__file__),
-           "--path", args.path, "--inner"]
-    delays = (0,) + _RETRY_DELAYS_S
+           "--path", name, "--inner"]
     last_rc = 1
-    killed_last = False
     for i, delay in enumerate(delays):
-        if killed_last:
+        if state["killed_last"]:
             # the SIGKILL below wedges the device lease for ~25 min;
             # retrying sooner burns attempts against a guaranteed failure
             delay = max(delay, _WEDGE_S)
         if delay:
-            print(f"# bench attempt {i} failed (rc={last_rc}); "
+            print(f"# bench[{name}] attempt {i} failed (rc={last_rc}); "
                   f"retrying in {delay}s", file=sys.stderr, flush=True)
             time.sleep(delay)
-        killed_last = False
-        import tempfile
-
+        state["killed_last"] = False
         beacon = os.path.join(tempfile.mkdtemp(), "ready")
         env = dict(os.environ, VST_BENCH_READY_FILE=beacon)
         proc = subprocess.Popen(
@@ -564,6 +596,8 @@ def main(argv=None):
                 init_hung = True
                 break
             time.sleep(2)
+        if os.path.exists(beacon):
+            state["backend_seen"] = True
         if init_hung:
             proc.terminate()
             try:
@@ -571,7 +605,7 @@ def main(argv=None):
             except subprocess.TimeoutExpired:
                 proc.kill()
                 out, _ = proc.communicate()
-                killed_last = True
+                state["killed_last"] = True
             last_rc = "init-hang"
             sys.stderr.write(out.decode(errors="replace"))
             sys.stderr.write(f"# backend init exceeded {_INIT_TIMEOUT_S}s; "
@@ -589,21 +623,23 @@ def main(argv=None):
             except subprocess.TimeoutExpired:
                 proc.kill()
                 out, _ = proc.communicate()
-                killed_last = True
+                state["killed_last"] = True
             last_rc = "timeout"
             sys.stderr.write(out.decode(errors="replace"))
             continue
         out = out.decode(errors="replace")
         if proc.returncode == 0:
+            state["backend_seen"] = True  # a success must have reached it
             sys.stdout.write(out)
             sys.stdout.flush()
-            return
-        # Forward partial results (e.g. some paths of --path all) plus a
-        # marker so a tail-captured log still shows what happened.
+            return True
+        # Forward failure output to stderr so a tail-captured log still
+        # shows what happened.
         sys.stderr.write(out)
         last_rc = proc.returncode
-    raise SystemExit(f"bench failed after {len(delays)} attempts "
-                     f"(last rc={last_rc})")
+    print(f"# bench[{name}] failed after {len(delays)} attempts "
+          f"(last rc={last_rc})", file=sys.stderr, flush=True)
+    return False
 
 
 if __name__ == "__main__":

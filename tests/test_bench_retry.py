@@ -107,6 +107,56 @@ def test_inner_flag_bypasses_supervisor(monkeypatch):
     assert ran == [1]
 
 
+def test_all_paths_supervised_individually(monkeypatch, capsys):
+    """--path all runs each path in its own supervised subprocess: one
+    path's failure neither loses the others' results nor re-runs them
+    (round-4 concern: a cold `all` run exceeds one attempt's budget)."""
+    two = sorted(bench.PATHS)[:2]
+    monkeypatch.setattr(bench, "PATHS", {k: bench.PATHS[k] for k in two})
+    line = b'{"metric": "m", "value": 5.0, "unit": "u", "vs_baseline": 1}\n'
+    # path 1 succeeds first try; path 2 fails once then succeeds — on the
+    # SHORT schedule (backend already seen), so 4 attempts max
+    procs = [_FakeProc(0, line), _FakeProc(1, b"boom\n"), _FakeProc(0, line)]
+    calls = _patch(monkeypatch, procs)
+    bench.main(["--path", "all"])
+    assert len(calls) == 3
+    # each subprocess was asked for ONE specific path, not "all"
+    assert calls[0][calls[0].index("--path") + 1] == two[0]
+    assert calls[1][calls[1].index("--path") + 1] == two[1]
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2
+
+
+def test_all_aborts_remaining_paths_when_backend_unreachable(monkeypatch):
+    """If the FIRST path exhausts its retries without the backend ever
+    answering (beacon never written, rc!=0), the remaining paths are
+    guaranteed failures and must be skipped, not each burn ~25 min."""
+    two = sorted(bench.PATHS)[:2]
+    monkeypatch.setattr(bench, "PATHS", {k: bench.PATHS[k] for k in two})
+    n = 1 + len(bench._RETRY_DELAYS_S)
+    calls = _patch(monkeypatch, [_FakeProc(1, b"UNAVAILABLE\n")
+                                 for _ in range(2 * n)])
+    with pytest.raises(SystemExit, match="never answered"):
+        bench.main(["--path", "all"])
+    assert len(calls) == n  # only the first path's attempts
+
+
+def test_all_path_failure_after_success_continues(monkeypatch, capsys):
+    """A failing path AFTER the backend has been seen up uses the short
+    retry schedule, and the run still reports the other paths' results
+    before exiting nonzero."""
+    two = sorted(bench.PATHS)[:2]
+    monkeypatch.setattr(bench, "PATHS", {k: bench.PATHS[k] for k in two})
+    line = b'{"metric": "m", "value": 6.0, "unit": "u", "vs_baseline": 1}\n'
+    short = 4  # (0, 20, 60, 120)
+    procs = [_FakeProc(0, line)] + [_FakeProc(1, b"boom\n")] * short
+    calls = _patch(monkeypatch, procs)
+    with pytest.raises(SystemExit, match="paths failed"):
+        bench.main(["--path", "all"])
+    assert len(calls) == 1 + short
+    assert json.loads(capsys.readouterr().out)["value"] == 6.0
+
+
 def test_init_hang_is_cut_short(monkeypatch, capsys):
     """A backend that BLOCKS during init (the observed outage mode) must be
     killed at the init deadline, not after the full 40-min attempt budget:
