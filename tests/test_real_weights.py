@@ -272,10 +272,21 @@ class TestRealLPIPSVendoredHeads:
     # computed here, pinned: (content vs style) LPIPS for the first two
     # sorted contents/ × styles/ reference JPEGs at 64², seeded trunk
     GOLDEN = {
-        ("Avril-Lavigne.jpg", "AlgarveFarm.jpg"): 0.2366046,
-        ("Avril-Lavigne.jpg", "Another-colorful-world.jpg"): 0.1598965,
-        ("Bair.jpg", "AlgarveFarm.jpg"): 0.2421109,
-        ("Bair.jpg", "Another-colorful-world.jpg"): 0.2171691,
+        "0.1": {
+            ("Avril-Lavigne.jpg", "AlgarveFarm.jpg"): 0.2366046,
+            ("Avril-Lavigne.jpg", "Another-colorful-world.jpg"): 0.1598965,
+            ("Bair.jpg", "AlgarveFarm.jpg"): 0.2421109,
+            ("Bair.jpg", "Another-colorful-world.jpg"): 0.2171691,
+        },
+        # the reference also vendors the v0.0 calibrated heads
+        # (lpips/weights/v0.0/vgg.pth); v0.0 consumes the [-1, 1] inputs
+        # with NO ScalingLayer (lpips/lpips.py:135)
+        "0.0": {
+            ("Avril-Lavigne.jpg", "AlgarveFarm.jpg"): 0.1132070,
+            ("Avril-Lavigne.jpg", "Another-colorful-world.jpg"): 0.0775204,
+            ("Bair.jpg", "AlgarveFarm.jpg"): 0.1004779,
+            ("Bair.jpg", "Another-colorful-world.jpg"): 0.0950164,
+        },
     }
 
     @staticmethod
@@ -288,18 +299,20 @@ class TestRealLPIPSVendoredHeads:
 
     @pytest.mark.skipif(not os.path.exists(LPIPS_HEADS),
                         reason="reference lpips heads not mounted")
-    def test_real_heads_real_jpegs_match_torch(self):
+    @pytest.mark.parametrize("version", ["0.1", "0.0"])
+    def test_real_heads_real_jpegs_match_torch(self, version):
         import torch.nn.functional as F
 
         from vst_tpu.compat.torch_params import jax_to_torch_arrays
         from vst_tpu.eval.lpips import (LPIPS_VGG16_TAPS,
                                         image_to_lpips_input,
-                                        load_linear_heads, lpips_vgg,
+                                        load_linear_heads, lpips_distance,
                                         random_lpips_params)
         from vst_tpu.models.vgg import VGG16_CFG, _layer_table
 
+        heads_path = LPIPS_HEADS.replace("/v0.1/", f"/v{version}/")
         params = random_lpips_params(0, "vgg")
-        params.update(load_linear_heads(LPIPS_HEADS))  # REAL v0.1 heads
+        params.update(load_linear_heads(heads_path))  # REAL calibrated heads
 
         adaattn_ref = os.path.dirname(LPIPS_HEADS).split("/lpips/")[0]
         contents = sorted(glob.glob(f"{adaattn_ref}/contents/*.jpg"))[:2]
@@ -311,7 +324,7 @@ class TestRealLPIPSVendoredHeads:
                   for k, v in jax_to_torch_arrays(
                       {k: np.asarray(v) for k, v in params.items()
                        if k.startswith("features.")}).items()}
-        heads = torch.load(LPIPS_HEADS, map_location="cpu",
+        heads = torch.load(heads_path, map_location="cpu",
                            weights_only=True)
         shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
         scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
@@ -337,8 +350,12 @@ class TestRealLPIPSVendoredHeads:
                 return torch.from_numpy(
                     (img / (255.0 / 2.0) - 1.0).transpose(2, 0, 1))[None]
 
-            f0 = trunk((im2tensor(a255) - shift) / scale)
-            f1 = trunk((im2tensor(b255) - shift) / scale)
+            x0, x1 = im2tensor(a255), im2tensor(b255)
+            if version == "0.1":  # v0.0 has no ScalingLayer
+                x0 = (x0 - shift) / scale
+                x1 = (x1 - shift) / scale
+            f0 = trunk(x0)
+            f1 = trunk(x1)
             val = 0.0
             for k, (x, y) in enumerate(zip(f0, f1)):
                 xn = x / (x.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
@@ -353,15 +370,16 @@ class TestRealLPIPSVendoredHeads:
             for sp in styles:
                 a = self._load_ref_jpeg(cp)
                 b = self._load_ref_jpeg(sp)
-                ours = float(lpips_vgg(params,
-                                       jnp.asarray(image_to_lpips_input(a)),
-                                       jnp.asarray(image_to_lpips_input(b)))[0])
+                ours = float(lpips_distance(
+                    params, jnp.asarray(image_to_lpips_input(a)),
+                    jnp.asarray(image_to_lpips_input(b)), "vgg",
+                    version=version)[0])
                 ref = t_lpips(a, b)
                 assert abs(ours - ref) <= 1e-4 * max(abs(ref), 1e-9), (
                     cp, sp, ours, ref)
                 computed[(os.path.basename(cp), os.path.basename(sp))] = ours
 
-        for key, golden in self.GOLDEN.items():
+        for key, golden in self.GOLDEN[version].items():
             if golden is not None:
                 assert computed[key] == pytest.approx(golden, rel=2e-3), (
                     key, computed[key], golden)
