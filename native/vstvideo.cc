@@ -260,7 +260,12 @@ int64_t vstvideo_open(const char* path, int64_t* n_frames, int64_t* height,
     }
     pos = seg_end + (seg_end & 1);
   }
-  if (!ok || video->frames.empty()) return -3;  // shared_ptr closes fd
+  // A truncated MAIN segment (partial copy, killed writer) gets the same
+  // treatment as a truncated AVIX extension: every frame indexed before
+  // the bad chunk parsed fully — serve that prefix rather than rejecting
+  // a file whose complete frames are readable.  (When !ok the AVIX scan
+  // above was skipped: damage mid-segment makes later offsets garbage.)
+  if (video->frames.empty()) return -3;  // shared_ptr closes fd
   std::vector<uint8_t> first(video->frames[0].size);
   if (!read_at(fd, video->frames[0].offset, first.data(), first.size()))
     return -4;

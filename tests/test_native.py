@@ -200,6 +200,28 @@ class TestNativeVideo:
             assert got.shape[0] == v.n_frames
             assert got.any()  # decoded real pixels, not zeros
 
+    def test_truncated_main_segment_serves_leading_frames(self, mjpg_avi,
+                                                          tmp_path):
+        """The SAME truncation inside the main RIFF segment (sub-1GB file,
+        partial copy) must also serve the indexed prefix instead of
+        rejecting the whole file with -3."""
+        from vst_tpu.data import video_native
+
+        if not video_native.available():
+            pytest.skip("libvstvideo.so not built")
+        path, frames = mjpg_avi
+        trunc = str(tmp_path / "trunc_main.avi")
+        data = open(path, "rb").read()
+        # cut deep into the movi list (past any trailing idx1 index); the
+        # RIFF size field still claims the full extent, so the chunk at the
+        # cut is truncated mid-payload
+        open(trunc, "wb").write(data[:int(len(data) * 0.6)])
+        with video_native.NativeMJPGVideo(trunc) as v:
+            assert 1 <= v.n_frames < len(frames)
+            got = v.read_batch(0, v.n_frames)
+            assert got.shape[0] == v.n_frames
+            assert got.any()
+
     def test_close_during_read_is_safe(self, mjpg_avi):
         """vstvideo_close racing an in-flight read_batch must not crash
         (the handle table holds shared_ptrs; close defers destruction)."""

@@ -270,11 +270,25 @@ def test_snapshot_refreshes_at_log_points(tmp_path, capsys):
     final = run_training(_poisoning_step({3}), _state(), _Dataset(8),
                          batch_size=2, epochs=1, out_dir=str(tmp_path),
                          export_pth=False, log_every=1, num_workers=0,
-                         model_name="toy")
+                         model_name="toy", snapshot_every_s=0.0)
     assert "rolled back" in capsys.readouterr().out
     # steps 0,1,2 passed (w=3 snapshotted at the step-2 log point);
     # step 3 NaN'd and rolled back to w=3, not the epoch-start w=0
     assert float(np.asarray(final.params["w"])[0]) == 3.0
+
+
+def test_snapshot_refresh_throttled_by_wall_clock(tmp_path, capsys):
+    """With the default snapshot_every_s floor, fast steps do NOT refresh
+    the rollback snapshot at every log point (the refresh fetches the whole
+    TrainState); a NaN then rolls back to the epoch-start snapshot."""
+    final = run_training(_poisoning_step({3}), _state(), _Dataset(8),
+                         batch_size=2, epochs=1, out_dir=str(tmp_path),
+                         export_pth=False, log_every=1, num_workers=0,
+                         model_name="toy")  # snapshot_every_s=60 default
+    assert "rolled back" in capsys.readouterr().out
+    # toy steps run in microseconds — no log point reaches the 60s floor,
+    # so the last-batch NaN rolls all the way back to the epoch-start w=0
+    assert float(np.asarray(final.params["w"])[0]) == 0.0
 
 
 def test_metrics_jsonl_sink(tmp_path):
@@ -298,6 +312,41 @@ def test_metrics_jsonl_sink(tmp_path):
                  export_pth=False, log_every=1, num_workers=0,
                  model_name="toy", metrics_jsonl=path)
     assert len(open(path).readlines()) == 12
+
+
+def test_metrics_jsonl_nonfinite_encoded_as_null(tmp_path):
+    """Non-finite metric values must serialize as strict-JSON null, not the
+    bare NaN literal jq/JSON.parse reject — the SD1 distiller reports its
+    SDL tap-mismatch marker as NaN on every step by design."""
+    import json
+
+    def step(state, batch):
+        params = {"w": state.params["w"] + 1.0}
+        new = TrainState(params=params, opt_state=(), step=state.step + 1)
+        return new, {"loss": jnp.float32(1.0), "SDL": jnp.float32(jnp.nan)}
+
+    path = str(tmp_path / "metrics.jsonl")
+    run_training(step, _state(), _Dataset(4), batch_size=2, epochs=1,
+                 out_dir=str(tmp_path), export_pth=False, log_every=1,
+                 num_workers=0, model_name="toy", metrics_jsonl=path,
+                 recover_nonfinite=False)
+    lines = open(path).read().splitlines()
+    assert lines
+    for line in lines:  # strict parse — raises on a bare NaN literal
+        rec = json.loads(line, parse_constant=lambda c: pytest.fail(
+            f"non-strict JSON constant {c!r} in metrics line"))
+        assert rec["SDL"] is None and rec["loss"] == 1.0
+
+
+def test_metrics_jsonl_creates_parent_dir(tmp_path):
+    """A metrics path inside a not-yet-existing directory must not crash
+    the run at the first logged batch."""
+    path = str(tmp_path / "logs" / "deeper" / "metrics.jsonl")
+    run_training(_poisoning_step(set()), _state(), _Dataset(4),
+                 batch_size=2, epochs=1, out_dir=str(tmp_path),
+                 export_pth=False, log_every=1, num_workers=0,
+                 model_name="toy", metrics_jsonl=path)
+    assert os.path.exists(path)
 
 
 def test_resume_mid_epoch_continues_exact_data_order(tmp_path):

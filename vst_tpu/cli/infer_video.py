@@ -21,6 +21,23 @@ from vst_tpu.infer.video import (
 )
 
 
+def _validated_wire(wire, size, weights2=None):
+    """Downgrade --wire i420 to rgb (with a warning) when the request can't
+    be honored: odd output dimensions (I420 subsamples chroma 2×2) or the
+    side-by-side --weights2 comparison (concatenation happens on host)."""
+    import sys
+
+    if wire == "i420" and (size[0] % 2 or size[1] % 2):
+        print(f"warning: --wire i420 needs even dimensions, got "
+              f"{size[0]}x{size[1]}; using rgb", file=sys.stderr)
+        wire = "rgb"
+    if wire == "i420" and weights2:
+        print("warning: --wire i420 is unsupported with --weights2 "
+              "(side-by-side concatenation); using rgb", file=sys.stderr)
+        wire = "rgb"
+    return wire
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="vst_tpu.cli.infer_video")
     p.add_argument("--model", required=True,
@@ -105,12 +122,7 @@ def main(argv=None):
         import jax.numpy as jnp
 
         size = tuple(args.size or (512, 256))
-        if args.wire == "i420" and (size[0] % 2 or size[1] % 2):
-            import sys
-
-            print(f"warning: --wire i420 needs even dimensions, got "
-                  f"{size[0]}x{size[1]}; using rgb", file=sys.stderr)
-            args.wire = "rgb"
+        args.wire = _validated_wire(args.wire, size)
         vgg_params = load_vgg_weights(args.vgg_weights, "vgg19_adaattn")
         style = jnp.asarray(load_image_255(args.style, size)[None])
         stylizer = AdaAttNVideoStylizer(vgg_params, params, style,
@@ -123,19 +135,7 @@ def main(argv=None):
         size = tuple(args.size or (640, 360))
         # uint8 on the wire both ways: decoder-native frames go up, styled
         # uint8 comes down; the jitted stylizers cast/clamp on device.
-        wire = args.wire
-        if wire == "i420" and (size[0] % 2 or size[1] % 2):
-            import sys
-
-            print(f"warning: --wire i420 needs even dimensions, got "
-                  f"{size[0]}x{size[1]}; using rgb", file=sys.stderr)
-            wire = "rgb"
-        if wire == "i420" and args.weights2:
-            import sys
-
-            print("warning: --wire i420 is unsupported with --weights2 "
-                  "(side-by-side concatenation); using rgb", file=sys.stderr)
-            wire = "rgb"
+        wire = _validated_wire(args.wire, size, args.weights2)
         if args.model == "rtnstv":
             model_fn = functools.partial(stylize_rtnstv, params,
                                          uint8_out=True, wire=wire)

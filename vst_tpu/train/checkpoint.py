@@ -51,7 +51,24 @@ def save_state(state: TrainState, path: str, *, format: str = "orbax") -> None:
     (atomic rename on completion; overwrites in place for periodic
     mid-epoch saves).  ``format="pickle"``: the single-file numpy-pytree
     pickle, kept for environments without orbax; now versioned.
+
+    When orbax is not installed (it is the ``[checkpoint]`` extra, not a
+    core dependency), the default silently degrades to the pickle format
+    rather than crashing the run at its FIRST checkpoint — which would
+    otherwise also break the SIGTERM preemption save and lose the state it
+    exists to protect.  ``load_state`` reads both formats, so resume works
+    either way.
     """
+    if format == "orbax":
+        try:
+            import orbax.checkpoint  # noqa: F401
+        except ImportError:
+            import warnings
+            warnings.warn("orbax-checkpoint not installed; writing the "
+                          "pickle checkpoint format instead (install the "
+                          "[checkpoint] extra for orbax directories)",
+                          stacklevel=2)
+            format = "pickle"
     if format == "orbax":
         save_state_orbax(state, path)
     elif format == "pickle":

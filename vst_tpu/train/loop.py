@@ -88,6 +88,7 @@ def run_training(
     handle_preemption: bool = True,
     start_batch: int = 0,
     metrics_jsonl: str | None = None,
+    snapshot_every_s: float = 60.0,
 ) -> TrainState:
     """Run ``epochs`` epochs of ``step_fn(state, batch)`` over ``dataset``.
 
@@ -103,8 +104,16 @@ def run_training(
     and training continues — up to ``max_recoveries`` times per run, then
     raises.  The check runs before every persist point (periodic saves and
     each epoch's last batch) so non-finite state is never checkpointed, and
-    additionally at the ``log_every`` cadence (where it piggybacks on the
-    metric fetch the logging already pays for).
+    additionally at the ``log_every`` cadence — where the loss check
+    piggybacks on the metric fetch the logging already pays for, but
+    REFRESHING the rollback snapshot does not: it fetches the whole
+    TrainState (params + optimizer moments) to host, which over a slow
+    device link is a real stall.  ``snapshot_every_s`` therefore floors the
+    refresh cadence in wall-clock time (default one refresh per minute): a
+    rollback then loses at most ~that much work, and the refresh overhead
+    amortizes to nothing on fast steps while slow steps (≥ the floor) keep
+    refreshing at every log point.  Set 0 to refresh at every passing log
+    check.
 
     Preemption safety (``handle_preemption``): TPU VMs are routinely
     preempted with SIGTERM and a short grace period.  On SIGTERM/SIGUSR1
@@ -188,13 +197,15 @@ def run_training(
             f"saved to {model_name}_last_state", good)
 
     os.makedirs(out_dir, exist_ok=True)
+    if metrics_jsonl and os.path.dirname(metrics_jsonl):
+        os.makedirs(os.path.dirname(metrics_jsonl), exist_ok=True)
     try:
         state = _epoch_loop(
             step_fn, state, dataset, batch_size, epochs, epoch_start,
             out_dir, model_name, export_pth, log_every, seed, num_workers,
             prefetch, sharding, log_fn, loss_plots_dir, save_every_steps,
             recover_nonfinite, max_recoveries, snapshot_of, restore,
-            persist_point, start_batch, metrics_jsonl)
+            persist_point, start_batch, metrics_jsonl, snapshot_every_s)
     finally:
         for sig, handler in prev_handlers.items():
             # signal.signal returns None for handlers installed outside
@@ -210,7 +221,7 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
                 num_workers, prefetch, sharding, log_fn, loss_plots_dir,
                 save_every_steps, recover_nonfinite, max_recoveries,
                 snapshot_of, restore, persist_point, start_batch=0,
-                metrics_jsonl=None):
+                metrics_jsonl=None, snapshot_every_s=60.0):
     recoveries = 0
     primary = _primary()
     for epoch in range(epoch_start, epochs + 1):
@@ -227,6 +238,7 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
         t0 = time.time()
         history: dict[str, list] = {}
         snap = snapshot_of(state) if recover_nonfinite else None
+        snap_t = time.time()
         for i, batch in enumerate(device_prefetch(iter(loader), prefetch,
                                                   sharding), start=sb):
             state, metrics = step_fn(state, batch)
@@ -268,18 +280,23 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
                     # after a recovery
                     state = restore(snap)._replace(step=state.step)
                     continue
-                if not is_save and not save_every_steps:
+                if (not is_save and not save_every_steps
+                        and time.time() - snap_t >= snapshot_every_s):
                     # the check passed at a log point and no periodic
-                    # saves refresh the snapshot: advance it here, so a
-                    # late-epoch NaN rolls back log_every batches, not the
-                    # whole epoch.  (With save_every_steps set, the save
-                    # path below refreshes it instead.)  Adopt only a
-                    # fully-finite state — the loss-only check above can
-                    # miss params a backward overflow has already NaN'd.
+                    # saves refresh the snapshot: advance it here (at most
+                    # once per snapshot_every_s — this fetch copies the
+                    # WHOLE TrainState to host, which logging does not
+                    # otherwise pay for), so a late-epoch NaN rolls back
+                    # a bounded amount, not the whole epoch.  (With
+                    # save_every_steps set, the save path below refreshes
+                    # it instead.)  Adopt only a fully-finite state — the
+                    # loss-only check above can miss params a backward
+                    # overflow has already NaN'd.
                     fresh = snapshot_of(state)
                     if all(np.isfinite(leaf).all()
                            for leaf in jax.tree.leaves(fresh[0].params)):
                         snap = fresh
+                        snap_t = time.time()
             if is_save:
                 # mid-epoch durability (the reference only saves per epoch
                 # and loses partial progress on failure — SURVEY.md §5.3/5.4)
@@ -288,6 +305,7 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
                     # snapshot and the save (save_state's np.asarray is a
                     # no-op on numpy leaves)
                     snap = snapshot_of(state)
+                    snap_t = time.time()
                     if primary:
                         ckpt.save_state(snap[0], os.path.join(
                             out_dir, model_name + "_last_state"))
@@ -305,12 +323,20 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
                        f"({rate:.3g} samples/s) {msg}")
                 if metrics_jsonl:
                     import json
+                    import math
 
+                    # strict JSON has no NaN/Infinity; some trainers report
+                    # non-finite metrics by design (the SD1 distiller's SDL
+                    # tap-mismatch marker is jnp.nan every step), so encode
+                    # them as null instead of emitting lines jq/JSON.parse
+                    # reject
+                    safe = {k: (v if math.isfinite(v) else None)
+                            for k, v in vals.items()}
                     with open(metrics_jsonl, "a") as f:
                         f.write(json.dumps(
                             {"epoch": epoch, "batch": i + 1,
                              "step": int(state.step),
-                             "samples_per_s": round(rate, 4), **vals}) + "\n")
+                             "samples_per_s": round(rate, 4), **safe}) + "\n")
         if primary and loss_plots_dir:
             _save_loss_plot(history, loss_plots_dir, model_name, epoch,
                             batch_size)
