@@ -128,6 +128,52 @@ class TestNonPrimaryProcess:
         assert not os.path.exists(metrics)
 
 
+class TestHeartbeatFile:
+    def test_touched_every_batch_on_non_primary(self, tmp_path,
+                                                monkeypatch):
+        """The --heartbeat-file liveness signal must advance on NON-primary
+        processes too (that is its whole point: the metrics sink doesn't),
+        and be created up front so a supervisor can watch it from batch 0."""
+        import time
+
+        import jax.numpy as jnp
+
+        from vst_tpu.train import loop as train_loop
+        from vst_tpu.train.state import TrainState
+
+        monkeypatch.setattr(train_loop, "_primary", lambda: False)
+
+        class _DS:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                return np.full((2, 2), float(i), np.float32)
+
+        hb = str(tmp_path / "hb" / "host0.touch")
+        mtimes = []
+
+        def step(state, batch):
+            if os.path.exists(hb):
+                mtimes.append(os.path.getmtime(hb))
+            time.sleep(0.01)  # keep successive mtimes distinguishable
+            new = TrainState(params={"w": state.params["w"] + 1.0},
+                             opt_state=(), step=state.step + 1)
+            return new, {"loss": jnp.sum(new.params["w"])}
+
+        train_loop.run_training(
+            step, TrainState(params={"w": jnp.zeros((2,))}, opt_state=(),
+                             step=jnp.zeros((), jnp.int32)),
+            _DS(), batch_size=2, epochs=1, out_dir=str(tmp_path / "out"),
+            export_pth=False, log_every=1, num_workers=0,
+            model_name="toy", heartbeat_file=hb)
+        assert os.path.exists(hb)          # created before the first step
+        assert len(mtimes) == 2            # seen by every batch's step
+        assert os.path.getmtime(hb) > mtimes[0]  # advanced across batches
+        # non-primary still writes no artifacts
+        assert os.listdir(tmp_path / "out") == []
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -223,3 +269,111 @@ class TestTwoProcessTraining:
         for k in ps:
             np.testing.assert_allclose(pm[k], ps[k], atol=6 * lr,
                                        err_msg=k)
+
+
+@pytest.mark.slow
+class TestSupervisedMultihostRestart:
+    def test_nonprimary_crash_restarts_cluster_to_completion(self, tmp_path,
+                                                             rng):
+        """Failure recovery ACROSS hosts: a real 2-process Gloo cluster
+        trains under one supervisor per process (the production recipe in
+        cli/supervise.py's docstring); the NON-primary process os._exits
+        mid-epoch.  Its peer fails or stalls at the next collective, both
+        supervisors restart their trainers, the restarted processes rejoin
+        through jax.distributed.initialize, agree on the resume position
+        (the shared out_dir guard in cli.train), and finish the run —
+        final epoch artifacts exist and both supervisors report rc 0."""
+        import textwrap
+        import threading
+        import unittest.mock as mock
+
+        from vst_tpu.train.supervisor import supervise
+
+        root = str(tmp_path / "sceneflow")
+        _make_sceneflow_scene(os.path.join(root, "monkaa"), rng, 5,
+                              "monkaa")
+        _make_sceneflow_scene(os.path.join(root, "flyingthings3d"), rng, 5,
+                              "ft3d")
+        from PIL import Image
+
+        style = str(tmp_path / "style.png")
+        Image.fromarray(rng.integers(0, 255, (24, 32, 3),
+                                     dtype=np.uint8)).save(style)
+        out_dir = str(tmp_path / "models")
+        metrics = str(tmp_path / "metrics.jsonl")
+        marker = str(tmp_path / "crashed_once")
+        port = _free_port()
+
+        # pid-1 wrapper: on its FIRST incarnation, os._exit as soon as the
+        # primary's first mid-epoch checkpoint lands (both processes step
+        # in lockstep, so pid 1 is mid-epoch then too)
+        wrapper = tmp_path / "crashing_train.py"
+        wrapper.write_text(textwrap.dedent(f"""
+            import os, sys, threading, time
+            marker = {marker!r}
+            if not os.path.exists(marker):
+                open(marker, "w").close()
+                state = os.path.join({out_dir!r}, "rtnstv_last_state")
+                def killer():
+                    while not os.path.isdir(state):
+                        time.sleep(0.1)
+                    time.sleep(0.5)
+                    os._exit(137)
+                threading.Thread(target=killer, daemon=True).start()
+            from vst_tpu.cli.train import main
+            main(sys.argv[1:])
+        """))
+
+        common = ["--trainer", "rtnstv", "--data", root, "--style", style,
+                  "--out-dir", out_dir, "--epochs", "1", "--batch-size",
+                  "4", "--img-size", "24", "32", "--log-every", "1",
+                  "--save-every-steps", "1", "--resume", "auto",
+                  "--multihost", f"localhost:{port}",
+                  "--num-processes", "2"]
+        hb = [str(tmp_path / f"hb{i}.touch") for i in range(2)]
+        cmds = {
+            0: [sys.executable, "-m", "vst_tpu.cli.train"] + common + [
+                "--process-id", "0", "--metrics-jsonl", metrics,
+                "--heartbeat-file", hb[0]],
+            1: [sys.executable, str(wrapper)] + common + [
+                "--process-id", "1", "--heartbeat-file", hb[1]],
+        }
+        env = dict(os.environ, VST_PLATFORM="cpu", PYTHONPATH=REPO,
+                   XLA_FLAGS="--xla_force_host_platform_device_count=2")
+        real_popen = subprocess.Popen
+
+        def run_env(cmd, **kw):
+            return real_popen(cmd, env=env, **kw)
+
+        results = {}
+
+        def babysit(pid):
+            # hang_timeout covers the Gloo-hang case (a dead peer usually
+            # ERRORS the survivor, but a stall must also recover); it must
+            # exceed the first compile plus the rejoin barrier
+            results[pid] = supervise(
+                cmds[pid], max_restarts=4, hang_timeout=150, grace=20,
+                backoff=0, heartbeat=hb[pid], poll_interval=0.3,
+                log=lambda *a: None)
+
+        with mock.patch("vst_tpu.train.supervisor.subprocess.Popen",
+                        run_env):
+            threads = [threading.Thread(target=babysit, args=(i,))
+                       for i in range(2)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=540)
+            assert not any(t.is_alive() for t in threads), "supervisors hung"
+
+        assert os.path.exists(marker)  # the crash really happened
+        for pid in range(2):
+            assert results[pid].returncode == 0, (
+                pid, results[pid].returncode)
+        assert results[1].restarts >= 1  # the crashed process was restarted
+
+        # the run completed: epoch artifacts + monotone metrics steps
+        files = os.listdir(out_dir)
+        assert any(f.endswith(".npz") for f in files)
+        steps = [json.loads(line)["step"] for line in open(metrics)]
+        assert steps == sorted(steps) and steps[-1] == 2

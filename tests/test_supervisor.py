@@ -230,6 +230,36 @@ class TestSuperviseCLI:
             cli.main(["--hang-timeout", "60", "--", "--trainer", "rtnstv",
                       "--metrics-jsonl"])
 
+    def test_heartbeat_file_derives_heartbeat_even_multihost(self,
+                                                             monkeypatch):
+        """--heartbeat-file advances on every process, so it satisfies
+        --hang-timeout under --multihost where --metrics-jsonl may not."""
+        from vst_tpu.cli import supervise as cli
+
+        seen = {}
+
+        def fake(cmd, **kw):
+            seen.update(kw)
+
+            class R:
+                returncode, restarts, hangs = 0, 0, 0
+
+            return R()
+
+        monkeypatch.setattr("vst_tpu.train.supervisor.supervise", fake)
+        with pytest.raises(SystemExit) as exc:
+            cli.main(["--hang-timeout", "60", "--", "--trainer", "rtnstv",
+                      "--multihost", "--heartbeat-file", "hb.touch"])
+        assert exc.value.code == 0
+        assert seen["heartbeat"] == "hb.touch"
+
+        # and it wins over --metrics-jsonl in the single-host case too
+        with pytest.raises(SystemExit):
+            cli.main(["--hang-timeout", "60", "--", "--trainer", "rtnstv",
+                      "--metrics-jsonl", "m.jsonl",
+                      "--heartbeat-file=hb2.touch"])
+        assert seen["heartbeat"] == "hb2.touch"
+
     def test_multihost_hang_timeout_needs_explicit_heartbeat(self):
         from vst_tpu.cli import supervise as cli
 

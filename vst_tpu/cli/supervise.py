@@ -14,9 +14,24 @@ child on nonzero exit or on a stalled heartbeat (see
            --out-dir models --save-every-steps 200 \\
            --metrics-jsonl models/rtnstv_metrics.jsonl
 
-The heartbeat defaults to the child's ``--metrics-jsonl`` file; pair
-``--hang-timeout`` with a ``--log-every`` small enough that the file
+The heartbeat defaults to the child's ``--heartbeat-file`` (touched at
+every batch on every process) or, failing that, its ``--metrics-jsonl``
+file; pair ``--hang-timeout`` with a cadence small enough that the file
 advances every few steps, and leave headroom for the first compile.
+
+Multi-host recipe (``--multihost`` children): run ONE supervisor per host,
+each watching a per-host ``--heartbeat-file``::
+
+    # on every host h of the pod slice
+    python -m vst_tpu.cli.supervise --hang-timeout 1800 -- \\
+        --trainer rtnstv ... --multihost \\
+        --heartbeat-file /tmp/hb_$HOST.touch
+
+A crashed process breaks the whole collective: its peers fail or stall at
+the next collective, every host's supervisor restarts its trainer (crash
+→ immediately, hang → at the heartbeat timeout), and the restarted
+processes block in ``jax.distributed.initialize`` until the full set has
+rejoined, then resume together from the shared checkpoint.
 
 This is the aux subsystem the reference lacks outright (SURVEY.md §5.3:
 "failure detection / elastic recovery — absent").
@@ -74,9 +89,13 @@ def main(argv=None):
 
     multihost, _ = _find_option(train_args, "--multihost")
     heartbeat = args.heartbeat
-    if heartbeat is None and not multihost:
+    if heartbeat is None:
         # derive BEFORE appending --resume, so an appended flag can never
-        # masquerade as the metrics path
+        # masquerade as the heartbeat path.  --heartbeat-file advances on
+        # every process at every batch, so it works under --multihost too;
+        # the metrics sink advances only on the primary host.
+        _, heartbeat = _find_option(train_args, "--heartbeat-file")
+    if heartbeat is None and not multihost:
         _, heartbeat = _find_option(train_args, "--metrics-jsonl")
 
     has_resume, _ = _find_option(train_args, "--resume")
@@ -87,13 +106,14 @@ def main(argv=None):
             # non-primary hosts never write --metrics-jsonl, so deriving
             # the heartbeat from it would kill healthy trainers there
             raise SystemExit(
-                "error: --hang-timeout with a --multihost child needs an "
-                "explicit per-host --heartbeat (the metrics sink only "
-                "advances on the primary host)")
+                "error: --hang-timeout with a --multihost child needs a "
+                "per-host liveness file: give the trainer a per-host "
+                "--heartbeat-file (touched every batch on every process) "
+                "or pass --heartbeat explicitly")
         raise SystemExit(
             "error: --hang-timeout needs a heartbeat; give the trainer "
-            "--metrics-jsonl (with a small --log-every) or pass "
-            "--heartbeat explicitly")
+            "--heartbeat-file, or --metrics-jsonl (with a small "
+            "--log-every), or pass --heartbeat explicitly")
     if multihost:
         print("supervisor: NOTE --multihost child — supervision is "
               "per-host; a restart only rejoins the collective job if "

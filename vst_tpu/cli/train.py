@@ -64,6 +64,11 @@ def build_parser():
     p.add_argument("--metrics-jsonl", metavar="PATH",
                    help="append one JSON object per logged step (epoch, "
                         "batch, step, samples/s, every loss term)")
+    p.add_argument("--heartbeat-file", metavar="PATH",
+                   help="touch this file at every batch on EVERY process "
+                        "— the per-host liveness signal for cli.supervise "
+                        "--hang-timeout (the metrics sink only advances "
+                        "on the primary host)")
     p.add_argument("--data-format", default="sceneflow",
                    choices=["sceneflow", "videvo"],
                    help="rtnstv: SceneFlow GT flow (active reference path) "
@@ -271,6 +276,25 @@ def main(argv=None):
                       f"epoch {args.epoch_start}"
                       + (f" batch {start_batch + 1}" if start_batch else ""))
 
+    if args.multihost:
+        # every process must resume at the SAME data position.  Process 0
+        # owns the checkpoint; a host whose --out-dir is NOT the shared
+        # one finds no state under --resume auto, silently starts fresh,
+        # and desyncs the collective (divergent epoch/start_batch change
+        # each host's batch slicing).  Catch that here, loudly.
+        import jax
+        from jax.experimental import multihost_utils
+
+        mine = np.asarray([args.epoch_start, start_batch,
+                           int(state.step)], np.int64)
+        lead = multihost_utils.broadcast_one_to_all(mine)
+        if not np.array_equal(mine, lead):
+            raise SystemExit(
+                f"multihost resume mismatch: process {jax.process_index()} "
+                f"derived epoch/batch/step {mine.tolist()} but process 0 "
+                f"has {lead.tolist()} — all hosts must see the same "
+                f"--out-dir (shared storage) so --resume auto agrees")
+
     sharding = None
     if args.data_parallel:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -301,7 +325,8 @@ def main(argv=None):
             loss_plots_dir=args.loss_plots_dir, sharding=sharding,
             save_every_steps=args.save_every_steps,
             recover_nonfinite=not args.no_nan_recovery,
-            start_batch=start_batch, metrics_jsonl=args.metrics_jsonl)
+            start_batch=start_batch, metrics_jsonl=args.metrics_jsonl,
+            heartbeat_file=args.heartbeat_file)
     except TrainingPreempted as e:
         # clean exit: the resumable checkpoint is on disk; a supervisor
         # restarts this same command with --resume auto

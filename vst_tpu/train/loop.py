@@ -89,6 +89,7 @@ def run_training(
     start_batch: int = 0,
     metrics_jsonl: str | None = None,
     snapshot_every_s: float = 60.0,
+    heartbeat_file: str | None = None,
 ) -> TrainState:
     """Run ``epochs`` epochs of ``step_fn(state, batch)`` over ``dataset``.
 
@@ -133,6 +134,15 @@ def run_training(
     batch, samples/s, every loss term) — a machine-readable sibling of
     the console log (the reference's only observability is a tqdm bar,
     SURVEY.md §5.5).  Appending keeps history across resumes.
+
+    ``heartbeat_file``: touch this path's mtime at every batch, on EVERY
+    process — the liveness signal ``cli.supervise --hang-timeout`` watches.
+    The metrics sink only advances on the primary process (and only at the
+    logging cadence), so multi-host hang supervision needs this per-host
+    signal.  Touches happen in the dispatch loop (steps are async), but a
+    wedged device blocks the loop at the next log/persist fetch, so the
+    heartbeat stalls within one logging gap of a real hang — size
+    ``--hang-timeout`` above the slowest logging gap, as with metrics.
     """
 
     def snapshot_of(s):
@@ -199,13 +209,18 @@ def run_training(
     os.makedirs(out_dir, exist_ok=True)
     if metrics_jsonl and os.path.dirname(metrics_jsonl):
         os.makedirs(os.path.dirname(metrics_jsonl), exist_ok=True)
+    if heartbeat_file:
+        if os.path.dirname(heartbeat_file):
+            os.makedirs(os.path.dirname(heartbeat_file), exist_ok=True)
+        open(heartbeat_file, "a").close()
     try:
         state = _epoch_loop(
             step_fn, state, dataset, batch_size, epochs, epoch_start,
             out_dir, model_name, export_pth, log_every, seed, num_workers,
             prefetch, sharding, log_fn, loss_plots_dir, save_every_steps,
             recover_nonfinite, max_recoveries, snapshot_of, restore,
-            persist_point, start_batch, metrics_jsonl, snapshot_every_s)
+            persist_point, start_batch, metrics_jsonl, snapshot_every_s,
+            heartbeat_file)
     finally:
         for sig, handler in prev_handlers.items():
             # signal.signal returns None for handlers installed outside
@@ -221,7 +236,8 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
                 num_workers, prefetch, sharding, log_fn, loss_plots_dir,
                 save_every_steps, recover_nonfinite, max_recoveries,
                 snapshot_of, restore, persist_point, start_batch=0,
-                metrics_jsonl=None, snapshot_every_s=60.0):
+                metrics_jsonl=None, snapshot_every_s=60.0,
+                heartbeat_file=None):
     recoveries = 0
     primary = _primary()
     for epoch in range(epoch_start, epochs + 1):
@@ -242,6 +258,8 @@ def _epoch_loop(step_fn, state, dataset, batch_size, epochs, epoch_start,
         for i, batch in enumerate(device_prefetch(iter(loader), prefetch,
                                                   sharding), start=sb):
             state, metrics = step_fn(state, batch)
+            if heartbeat_file:
+                os.utime(heartbeat_file, None)
             persist_point(epoch, i, state, metrics, snap)
             is_save = bool(save_every_steps
                            and (i + 1) % save_every_steps == 0)
