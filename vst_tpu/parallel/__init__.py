@@ -7,6 +7,11 @@ from vst_tpu.parallel.mesh import (
     shard_batch_spatial,
     shard_spatial,
 )
+from vst_tpu.parallel.attention import (
+    sharded_cosine_attention_moments,
+    sharded_softmax_attention_moments,
+)
 
 __all__ = ["make_mesh", "replicate", "shard_batch", "shard_batch_spatial",
-           "shard_spatial"]
+           "shard_spatial", "sharded_cosine_attention_moments",
+           "sharded_softmax_attention_moments"]
