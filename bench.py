@@ -61,8 +61,30 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _smoke():
+    """True under VST_BENCH_SMOKE=1: every path shrinks to tiny shapes and
+    chains so the bench BODIES are executable as a CPU test
+    (tests/test_bench_paths.py) — catching Python/tracing bitrot before a
+    scarce TPU window is spent on them.  Numbers are meaningless here."""
+    import os
+
+    return bool(os.environ.get("VST_BENCH_SMOKE"))
+
+
+def _dims(h, w, batch):
+    """Smoke-mode shrink: multiples of 32 keep every model's stride/
+    upsample/VGG-pyramid and I420 evenness constraints valid."""
+    if _smoke():
+        return (max(h // 8 // 32 * 32, 32), max(w // 8 // 32 * 32, 32),
+                min(batch, 2))
+    return h, w, batch
+
+
 def _chain_fps(run_frames, batch, short=8, long=40, reps=3):
     """fps from the difference of two scan chain lengths."""
+    if _smoke():
+        short, long, reps = 1, 2, 1
+
     def timed(n_steps):
         float(run_frames(n_steps))  # compile + warm
         best = float("inf")
@@ -88,7 +110,7 @@ def bench_reconet_512(family="reconet", batch=8):
     fwd = {"reconet": reconet.reconet, "sd1": reconet.reconet_sd1,
            "sd2": reconet.reconet_sd2}[family]
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), init(0))
-    h, w = 512, 512
+    h, w, batch = _dims(512, 512, batch)
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def run(params, x, n_steps):
@@ -124,6 +146,7 @@ def _bench_adaattn(w, h, batch, activation, metric, cached=False):
 
     from vst_tpu.models import adaattn, vgg
 
+    h, w, batch = _dims(h, w, batch)
     dt = jnp.bfloat16
     vgg_params = jax.tree.map(lambda x: jnp.asarray(x, dt),
                               vgg.init_vgg19_adaattn(0))
@@ -174,7 +197,7 @@ def _bench_reconet_train(bf16):
     from vst_tpu.train import steps
     from vst_tpu.train.state import create, make_optimizer
 
-    h, w, batch = 360, 640, 4
+    h, w, batch = _dims(360, 640, 4)
     cfg = dataclasses.replace(C.RECONET_CANDY, img_size=(h, w),
                               batch_size=batch,
                               dtype="bfloat16" if bf16 else "float32")
@@ -226,9 +249,9 @@ def _bench_reconet_train(bf16):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    short, long = 2, 8
+    short, long = (1, 2) if _smoke() else (2, 8)
     dt_s = (timed(long) - timed(short)) / (long - short)
-    sps = batch / dt_s
+    sps = batch / max(dt_s, 1e-9)
     name = "bf16" if bf16 else "f32"
     return (f"reconet_train_{name}_samples_per_sec", sps, "samples/sec",
             sps / (9.5 if bf16 else 4.3))
@@ -264,11 +287,11 @@ def _bench_adaattn_train(kind, bf16=True, attention_mode="train"):
 
     dtype = "bfloat16" if bf16 else "float32"
     if kind == "image":
-        h, w, batch = 256, 256, 8
+        h, w, batch = _dims(256, 256, 8)
         cfg = C.AdaAttNImageConfig(dtype=dtype, attention_mode=attention_mode)
         make = steps.make_adaattn_image_step
     else:
-        h, w, batch = 256, 512, 4
+        h, w, batch = _dims(256, 512, 4)
         cfg = C.AdaAttNVideoConfig(dtype=dtype, attention_mode=attention_mode)
         make = steps.make_adaattn_video_step
 
@@ -327,9 +350,9 @@ def _bench_adaattn_train(kind, bf16=True, attention_mode="train"):
     # wide short/long spread + best-of-4: the tunnel adds multi-second
     # jitter per call, which at a narrow 2-vs-8-step spread can even turn
     # the difference negative (observed) — the per-step work must dominate
-    short, long = 4, 20
+    short, long = (1, 2) if _smoke() else (4, 20)
     dt_s = (timed(long) - timed(short)) / (long - short)
-    sps = batch / dt_s
+    sps = batch / max(dt_s, 1e-9)
     base = ADAATTN_TRAIN_BASE.get((kind, bf16)) or sps
     tag = "" if attention_mode == "train" else f"_{attention_mode}"
     name = "bf16" if bf16 else "f32"
@@ -353,6 +376,8 @@ def bench_pipeline_stream():
     from vst_tpu.models import reconet
 
     w, h, n_frames = 640, 360, 96
+    if _smoke():
+        w, h, n_frames = 64, 32, 16
     tmp = tempfile.mkdtemp()
     src = os.path.join(tmp, "in.avi")
     rng = np.random.default_rng(0)
@@ -410,7 +435,7 @@ def bench_tunnel_link():
     import jax
 
     frame_bytes = 360 * 640 * 3
-    n = 48
+    n = 2 if _smoke() else 48
     x = np.zeros((n, 360, 640, 3), np.uint8)  # ~33 MB
 
     dev = jax.device_put(x)
