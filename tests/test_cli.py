@@ -453,6 +453,40 @@ class TestTrainResume:
                                                 "rtnstv_last_state"))
         assert int(final.step) == 8
 
+    def test_auto_resume_finds_pickle_fallback_file(self, tmp_path, rng,
+                                                    capsys):
+        """When orbax is unavailable, save_state writes a bare pickle FILE
+        at the *_last_state path; --resume auto must discover it (not
+        'start fresh' and silently lose the run's progress)."""
+        import shutil
+
+        from vst_tpu.cli import train as cli_train2
+        from vst_tpu.train.checkpoint import load_state, save_state
+
+        root = str(tmp_path / "sceneflow")
+        _make_sceneflow_scene(os.path.join(root, "monkaa"), rng, 5, "monkaa")
+        _make_sceneflow_scene(os.path.join(root, "flyingthings3d"), rng, 5,
+                              "ft3d")
+        style = _png(str(tmp_path / "style.png"), rng)
+        out_dir = str(tmp_path / "models")
+        common = ["--trainer", "rtnstv", "--data", root, "--style", style,
+                  "--out-dir", out_dir, "--batch-size", "2",
+                  "--img-size", "24", "32", "--log-every", "0",
+                  "--resume", "auto"]
+        cli_train2.main(common + ["--epochs", "1"])
+        capsys.readouterr()
+        # rewrite the orbax state dir as the pickle-fallback bare file
+        state_path = os.path.join(out_dir, "rtnstv_last_state")
+        state = load_state(state_path)
+        shutil.rmtree(state_path)
+        save_state(state, state_path, format="pickle")
+        assert os.path.isfile(state_path)
+
+        cli_train2.main(common + ["--epochs", "2"])
+        out = capsys.readouterr().out
+        assert "starting fresh" not in out
+        assert "auto-resume: step 4 → epoch 2" in out
+
 
 class TestExperimentsImageCSV:
     """exps_image.py mirror: CSV schema + average row

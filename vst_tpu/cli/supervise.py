@@ -56,8 +56,11 @@ def build_parser():
     p.add_argument("--backoff", type=float, default=5.0, metavar="S",
                    help="restart delay; doubles per restart (cap 300s)")
     p.add_argument("--heartbeat", metavar="PATH",
-                   help="file whose mtime is the liveness signal "
-                        "(default: the child's --metrics-jsonl)")
+                   help="file whose mtime is the liveness signal (default: "
+                        "the child's --heartbeat-file, else its "
+                        "--metrics-jsonl — the latter only outside "
+                        "--multihost, since it advances solely on the "
+                        "primary host)")
     p.add_argument("train_args", nargs=argparse.REMAINDER,
                    help="-- followed by vst_tpu.cli.train arguments")
     return p

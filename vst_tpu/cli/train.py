@@ -140,8 +140,34 @@ def main(argv=None):
 
         from vst_tpu.parallel.multihost import initialize
 
-        initialize(None if args.multihost == "auto" else args.multihost,
-                   args.num_processes, args.process_id)
+        # keep the heartbeat alive WHILE blocked in initialize: after a
+        # crash, a restarted process legitimately waits here until every
+        # host's supervisor has restarted its trainer — with uniform
+        # hang_timeouts that wait exceeds this process's own timeout, so a
+        # frozen heartbeat would get the healthy waiting trainer killed
+        # and burn a restart on every recovery
+        stop_touch = None
+        if args.heartbeat_file:
+            import os
+            import threading
+
+            if os.path.dirname(args.heartbeat_file):
+                os.makedirs(os.path.dirname(args.heartbeat_file),
+                            exist_ok=True)
+            open(args.heartbeat_file, "a").close()
+            stop_touch = threading.Event()
+
+            def _touch():
+                while not stop_touch.wait(5.0):
+                    os.utime(args.heartbeat_file, None)
+
+            threading.Thread(target=_touch, daemon=True).start()
+        try:
+            initialize(None if args.multihost == "auto" else args.multihost,
+                       args.num_processes, args.process_id)
+        finally:
+            if stop_touch is not None:
+                stop_touch.set()
         if not args.data_parallel:
             args.data_parallel = -1
         print(f"multihost: process {jax.process_index()}/"
@@ -255,7 +281,10 @@ def main(argv=None):
             # orbax directory (current default; load_state also picks up a
             # completed-but-unswapped <path>.new), then the legacy pickle
             path = os.path.join(args.out_dir, name + "_last_state")
-            if not os.path.isdir(path) and not os.path.isdir(path + ".new"):
+            if (not os.path.isdir(path) and not os.path.isdir(path + ".new")
+                    and not os.path.isfile(path)):
+                # a bare FILE at the state path is the pickle fallback
+                # save_state writes when orbax is not installed
                 legacy = path + ".pkl"
                 if os.path.exists(legacy):
                     path = legacy
@@ -281,19 +310,23 @@ def main(argv=None):
         # owns the checkpoint; a host whose --out-dir is NOT the shared
         # one finds no state under --resume auto, silently starts fresh,
         # and desyncs the collective (divergent epoch/start_batch change
-        # each host's batch slicing).  Catch that here, loudly.
+        # each host's batch slicing).  Catch that here, loudly, on
+        # EVERY process: an allgather-and-compare (not a broadcast) so the
+        # hosts that agree with process 0 also see the mismatch and abort
+        # instead of proceeding into a collective that wedges on the one
+        # host that exited.
         import jax
         from jax.experimental import multihost_utils
 
         mine = np.asarray([args.epoch_start, start_batch,
                            int(state.step)], np.int64)
-        lead = multihost_utils.broadcast_one_to_all(mine)
-        if not np.array_equal(mine, lead):
+        every = np.asarray(multihost_utils.process_allgather(mine))
+        if not (every == every[0]).all():
             raise SystemExit(
                 f"multihost resume mismatch: process {jax.process_index()} "
-                f"derived epoch/batch/step {mine.tolist()} but process 0 "
-                f"has {lead.tolist()} — all hosts must see the same "
-                f"--out-dir (shared storage) so --resume auto agrees")
+                f"derived epoch/batch/step {mine.tolist()} but the cluster "
+                f"disagrees ({every.tolist()}) — all hosts must see the "
+                f"same --out-dir (shared storage) so --resume auto agrees")
 
     sharding = None
     if args.data_parallel:

@@ -56,8 +56,10 @@ def save_state(state: TrainState, path: str, *, format: str = "orbax") -> None:
     core dependency), the default silently degrades to the pickle format
     rather than crashing the run at its FIRST checkpoint — which would
     otherwise also break the SIGTERM preemption save and lose the state it
-    exists to protect.  ``load_state`` reads both formats, so resume works
-    either way.
+    exists to protect.  ``load_state`` reads both formats and
+    ``cli.train --resume auto`` discovers a bare pickle FILE at the state
+    path too, so resume works either way.  The pickle write is atomic
+    (tmp + rename) so a crash mid-save never corrupts the only checkpoint.
     """
     if format == "orbax":
         try:
@@ -73,9 +75,11 @@ def save_state(state: TrainState, path: str, *, format: str = "orbax") -> None:
         save_state_orbax(state, path)
     elif format == "pickle":
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        with open(path, "wb") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             pickle.dump({"__vst_state_version__": STATE_VERSION,
                          "tree": _to_numpy_tree(state)}, f)
+        os.replace(tmp, path)
     else:  # pragma: no cover
         raise ValueError(f"unknown checkpoint format {format!r}")
 
