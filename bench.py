@@ -131,7 +131,9 @@ def bench_reconet_512(family="reconet", batch=8):
         # serving-latency view: one frame in flight, ms from input to output
         return (f"{family}_512p_b1_latency_ms", 1e3 / fps, "ms/frame",
                 (1e3 / fps) / (1e3 / 30.0))
-    return f"{family}_512p_stylized_fps_per_chip", fps, "frames/sec", fps / 30.0
+    tag = "" if batch == 8 or _smoke() else f"_b{batch}"
+    return (f"{family}_512p{tag}_stylized_fps_per_chip", fps, "frames/sec",
+            fps / 30.0)
 
 
 def _bench_adaattn(w, h, batch, activation, metric, cached=False):
@@ -470,6 +472,8 @@ PATHS = {
     "tunnel-link": bench_tunnel_link,
     "reconet-512": bench_reconet_512,
     "reconet-512-b1": lambda: bench_reconet_512(batch=1),
+    "reconet-512-b16": lambda: bench_reconet_512(batch=16),
+    "reconet-512-b32": lambda: bench_reconet_512(batch=32),
     "sd1-512": lambda: bench_reconet_512("sd1"),
     "sd2-512": lambda: bench_reconet_512("sd2"),
     "adaattn-video-512x256": lambda: _bench_adaattn(
