@@ -461,7 +461,7 @@ class TestTrainResume:
         import shutil
 
         from vst_tpu.cli import train as cli_train2
-        from vst_tpu.train.checkpoint import load_state, save_state
+        from vst_tpu.train.checkpoint import save_state
 
         root = str(tmp_path / "sceneflow")
         _make_sceneflow_scene(os.path.join(root, "monkaa"), rng, 5, "monkaa")
@@ -477,7 +477,7 @@ class TestTrainResume:
         capsys.readouterr()
         # rewrite the orbax state dir as the pickle-fallback bare file
         state_path = os.path.join(out_dir, "rtnstv_last_state")
-        state = load_state(state_path)
+        state = _load_rtnstv_state(state_path)
         shutil.rmtree(state_path)
         save_state(state, state_path, format="pickle")
         assert os.path.isfile(state_path)

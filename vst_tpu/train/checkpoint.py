@@ -175,6 +175,10 @@ def save_state_orbax(state: TrainState, path: str) -> None:
             os.replace(new, path)
             shutil.rmtree(old)
         else:
+            if os.path.isfile(path):
+                # pickle-fallback FILE from a no-orbax run: the .new
+                # directory is newer and complete, replace it
+                os.remove(path)
             os.replace(new, path)
     wrapped = {"format_version": np.array(STATE_VERSION, np.int32),
                "state": _to_numpy_tree(state)}
@@ -193,6 +197,10 @@ def save_state_orbax(state: TrainState, path: str) -> None:
         ckptr.save(new, wrapped)
     if os.path.isdir(path):
         shutil.rmtree(path)
+    elif os.path.isfile(path):
+        # a pickle-fallback file written while orbax was unavailable:
+        # os.replace(dir, file) raises NotADirectoryError, so clear it
+        os.remove(path)
     os.replace(new, path)
 
 
