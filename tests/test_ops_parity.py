@@ -420,6 +420,21 @@ class TestReflectConv:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("hw,cin,cout", [((32, 40), 5, 7),
+                                             ((24, 24), 48, 96)])
+    def test_dus_border_variant_bit_equal(self, rng, hw, cin, cout):
+        """The dynamic-update-slice border formulation must be BIT-equal to
+        the split-border one (same conv algebra, different stitching)."""
+        from vst_tpu.ops.conv import (conv2d_reflect1_k3s2,
+                                      conv2d_reflect1_k3s2_dus)
+
+        x = jnp.asarray(rand(rng, 2, hw[0], hw[1], cin))
+        w = jnp.asarray(rand(rng, 3, 3, cin, cout))
+        b = jnp.asarray(rand(rng, cout))
+        ref = conv2d_reflect1_k3s2(x, w, b)
+        out = conv2d_reflect1_k3s2_dus(x, w, b)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
     @pytest.mark.parametrize("hw", [(32, 40), (7, 9), (3, 3)])
     def test_s1_pad_free_matches_composition(self, rng, hw):
         from vst_tpu.ops.conv import conv2d_reflect1_k3s1

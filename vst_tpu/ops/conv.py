@@ -419,6 +419,56 @@ def conv2d_reflect1_k3s2(
     return out.astype(x.dtype)
 
 
+def conv2d_reflect1_k3s2_dus(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """``conv2d_reflect1_k3s2`` with the border ring written by
+    dynamic-update-slice instead of output concatenation.
+
+    One DENSE conv with explicit asymmetric zero padding ((1,0),(1,0))
+    produces every output except row 0 / column 0 (which read the
+    reflected row/col -1); those are overwritten with exact skinny-conv
+    strips.  Candidate (queued on-chip): the split-border form's two
+    output concats sit between the conv and its IN+relu consumers, and
+    the round-3 stage profile attributes 0.23 of conv2's 0.56 ms/frame
+    to border handling vs a 0.33 ms plain zero-pad conv — if XLA fuses
+    through the DUS chain better than through concat, most of that gap
+    closes.  Bit-parity with conv2d_reflect1_k3s2 is tested; in-model
+    A/B via tools/bench_conv2_dus.py."""
+    n, h, ww_, cin = x.shape
+    assert h % 2 == 0 and ww_ % 2 == 0 and w.shape[0] == 3
+
+    def cv(inp, strides, padding="VALID"):
+        return lax.conv_general_dilated(
+            inp, w, strides, padding, dimension_numbers=_DIMNUMS,
+            preferred_element_type=conv_accum_dtype(x.dtype),
+            precision=matmul_precision(x.dtype),
+        )
+
+    dense = cv(x, (2, 2), ((1, 0), (1, 0)))             # all but ring exact
+
+    top_rows = jnp.concatenate(
+        [x[:, 1:2], x[:, 0:2]], axis=1)                 # rows (-1,0,1)
+    top_slab = jnp.concatenate(
+        [top_rows[:, :, 1:2], top_rows], axis=2)        # left col reflect
+    top = cv(top_slab, (1, 2))                          # out[0:1, :]
+
+    left_rows = jnp.concatenate([x[:, 1:2], x], axis=1)  # row reflect
+    left_cols = jnp.concatenate(
+        [left_rows[:, :, 1:2], left_rows[:, :, 0:2]], axis=2)
+    left = cv(left_cols, (2, 1))                        # out[:, 0:1]
+
+    out = lax.dynamic_update_slice(dense, top.astype(dense.dtype),
+                                   (0, 0, 0, 0))
+    out = lax.dynamic_update_slice(out, left.astype(dense.dtype),
+                                   (0, 0, 0, 0))
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
 def conv2d_reflect1_k3s1(
     x: jnp.ndarray,
     w: jnp.ndarray,
