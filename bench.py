@@ -464,8 +464,11 @@ def bench_tunnel_link():
     rgb_ceiling = min(up, down) * 2**20 / frame_bytes
     print(f"# link: {up:.0f} MB/s up, {down:.0f} MB/s down; "
           f"rgb-wire ceiling {rgb_ceiling:.1f} fps", file=sys.stderr)
-    return ("stream_link_640x360_fps_ceiling", fps_ceiling, "frames/sec",
-            fps_ceiling / 30.0)
+    # metric renamed from stream_link_640x360_fps_ceiling when the wire
+    # format changed to packed I420 (ADVICE r4): the old name's records
+    # (rounds ≤3) are RGB888 budgets and are not comparable to this one.
+    return ("stream_link_640x360_i420_fps_ceiling", fps_ceiling,
+            "frames/sec", fps_ceiling / 30.0)
 
 
 PATHS = {
@@ -538,6 +541,39 @@ _RETRY_DELAYS_S = (20, 60, 120, 240, 480, 600)  # ~25 min total backoff
 _ATTEMPT_TIMEOUT_S = 2400  # cold server-side compiles take minutes
 _INIT_TIMEOUT_S = 420  # backend must answer within this, else it is hung
 _WEDGE_S = 1500  # device-lease wedge after a SIGKILLed client (CLAUDE.md)
+_PROBE_TIMEOUT_S = 60  # cheap up-front backend liveness probe
+_OUTAGE_BUDGET_S = 1200  # total retry budget once the probe says "down"
+
+
+def _probe_backend():
+    """Spawn a tiny fresh-process backend probe with a 60 s deadline.
+
+    Returns True iff ``jax.devices()`` answers in time.  Round-4 failure
+    mode (BENCH_r04.json rc=124): a down axon tunnel HANGS backend init,
+    so three 420 s init deadlines + backoff consumed the driver's whole
+    capture window without ever emitting a parseable line.  Probing first
+    lets the supervisor emit a structured backend-down record immediately
+    and cap the remaining retries to a budget that fits the window.
+    """
+    import os
+    import subprocess
+    import sys
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--probe"],
+        stdout=subprocess.PIPE,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    try:
+        proc.communicate(timeout=_PROBE_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        try:
+            proc.communicate(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
+        return False
+    return proc.returncode == 0
 
 
 def main(argv=None):
@@ -552,7 +588,14 @@ def main(argv=None):
                    help="run the bench body directly (no retry supervisor)")
     p.add_argument("--no-retry", action="store_true",
                    help="single attempt, in-process (interactive use)")
+    p.add_argument("--probe", action="store_true",
+                   help="backend liveness probe: init the backend and exit")
     args = p.parse_args(argv)
+    if args.probe:
+        import jax
+
+        print(jax.devices()[0].platform)
+        return
     names = sorted(PATHS) if args.path == "all" else [args.path]
     if args.inner or args.no_retry:
         _run(names)
@@ -567,27 +610,51 @@ def main(argv=None):
     # first path exhausts its budget without the backend ever answering,
     # the remaining paths are guaranteed failures and are skipped.
     state = {"killed_last": False, "backend_seen": False}
+    # Cheap liveness probe first (VERDICT r4 #2): when the tunnel is down,
+    # emit a machine-readable record for every requested path IMMEDIATELY —
+    # the driver's capture then parses even if nothing recovers — and cap
+    # all remaining retries to a budget that fits a ~25 min driver window.
+    deadline = None
+    if not _probe_backend():
+        for name in names:
+            print(json.dumps({
+                "metric": name, "value": None, "unit": None,
+                "vs_baseline": None, "error": "backend-down",
+            }), flush=True)
+        print(f"# bench: backend probe failed ({_PROBE_TIMEOUT_S}s); "
+              f"retrying for up to {_OUTAGE_BUDGET_S}s", file=sys.stderr,
+              flush=True)
+        deadline = time.time() + _OUTAGE_BUDGET_S
     failed = []
     for name in names:
         delays = ((0, 20, 60, 120) if state["backend_seen"]
                   else (0,) + _RETRY_DELAYS_S)
-        if not _supervise_one(name, delays, state):
+        if not _supervise_one(name, delays, state, deadline=deadline):
             failed.append(name)
             if not state["backend_seen"]:
-                raise SystemExit(
-                    f"bench: backend never answered; failed at first path "
-                    f"{name!r}, skipping {len(names) - 1} remaining")
+                msg = (f"bench: backend never answered; failed at first "
+                       f"path {name!r}, skipping {len(names) - 1} remaining")
+                if deadline is not None:
+                    # the structured backend-down lines above already carry
+                    # the failure machine-readably; exit 0 so the driver
+                    # records them instead of a bare rc
+                    print(f"# {msg}", file=sys.stderr, flush=True)
+                    return
+                raise SystemExit(msg)
     if failed:
         raise SystemExit(f"bench: paths failed: {', '.join(failed)}")
 
 
-def _supervise_one(name, delays, state):
+def _supervise_one(name, delays, state, deadline=None):
     """Run one bench path in supervised fresh subprocesses with retries.
 
     Returns True on success (stdout already forwarded).  Sets
     ``state['backend_seen']`` when any attempt's inner process reaches the
     backend (readiness beacon), and carries ``state['killed_last']`` (a
     SIGKILLed axon client wedges the device lease ~25 min) across calls.
+    ``deadline`` (absolute time) caps retries while the backend has not
+    been seen — once the probe has declared an outage, attempts must fit
+    the driver's window instead of exhausting the full backoff schedule.
     """
     import os
     import subprocess
@@ -598,6 +665,11 @@ def _supervise_one(name, delays, state):
            "--path", name, "--inner"]
     last_rc = 1
     for i, delay in enumerate(delays):
+        if (deadline is not None and not state["backend_seen"]
+                and time.time() > deadline):
+            print(f"# bench[{name}] outage budget exhausted after "
+                  f"{i} attempts", file=sys.stderr, flush=True)
+            return False
         if state["killed_last"]:
             # the SIGKILL below wedges the device lease for ~25 min;
             # retrying sooner burns attempts against a guaranteed failure
@@ -617,11 +689,16 @@ def _supervise_one(name, delays, state):
         # init HANG would otherwise eat the whole 40-min attempt budget —
         # the failure mode of a down tunnel is a block, not an error.
         t_start = time.time()
+        init_deadline = t_start + _INIT_TIMEOUT_S
+        if deadline is not None and not state["backend_seen"]:
+            # under a declared outage, an init hang may not run past the
+            # global budget (plus a short grace for a just-recovered tunnel)
+            init_deadline = min(init_deadline, max(deadline, t_start + 60))
         init_hung = False
         while not os.path.exists(beacon):
             if proc.poll() is not None:
                 break  # exited (fast failure) — handled below
-            if time.time() - t_start > _INIT_TIMEOUT_S:
+            if time.time() > init_deadline:
                 init_hung = True
                 break
             time.sleep(2)

@@ -36,10 +36,14 @@ class _FakeProc:
         self.terminated = True
 
 
-def _patch(monkeypatch, procs):
+def _patch(monkeypatch, procs, probe_up=True):
     calls = []
 
     def popen(cmd, **kw):
+        if "--probe" in cmd:
+            # the up-front liveness probe gets its own fresh fake each
+            # time; it never consumes the attempt list
+            return _FakeProc(0, b"cpu\n") if probe_up else _FakeProc(1, b"")
         calls.append(cmd)
         return procs[len(calls) - 1]
 
@@ -155,6 +159,37 @@ def test_all_path_failure_after_success_continues(monkeypatch, capsys):
         bench.main(["--path", "all"])
     assert len(calls) == 1 + short
     assert json.loads(capsys.readouterr().out)["value"] == 6.0
+
+
+def test_outage_emits_structured_line_then_recovers(monkeypatch, capsys):
+    """VERDICT r4 #2: when the up-front probe says the backend is down, a
+    machine-readable backend-down record must appear IMMEDIATELY (before
+    any retry sleeps), and a later recovery must still print the real
+    metric and exit 0."""
+    hung = _FakeProc(1, b"", hang=True)
+    ok = _FakeProc(0, b'{"metric": "m", "value": 7.0, "unit": "u", '
+                      b'"vs_baseline": 1.0}\n')
+    _patch(monkeypatch, [hung, ok], probe_up=False)
+    bench.main(["--path", "reconet-512"])  # must NOT raise
+    lines = capsys.readouterr().out.strip().splitlines()
+    first = json.loads(lines[0])
+    assert first["error"] == "backend-down" and first["value"] is None
+    assert json.loads(lines[-1])["value"] == 7.0
+
+
+def test_outage_without_recovery_exits_zero_with_record(monkeypatch, capsys):
+    """If the backend never comes back inside the outage budget, the
+    backend-down record is the capture: the supervisor exits 0 so the
+    driver stores a parseable line instead of a bare rc."""
+    n = 1 + len(bench._RETRY_DELAYS_S)
+    _patch(monkeypatch, [_FakeProc(1, b"UNAVAILABLE\n")] * n,
+           probe_up=False)
+    bench.main(["--path", "reconet-512"])  # exit 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[0])
+    assert rec == {"metric": "reconet-512", "value": None, "unit": None,
+                   "vs_baseline": None, "error": "backend-down"}
+    assert len(out) == 1
 
 
 def test_init_hang_is_cut_short(monkeypatch, capsys):
