@@ -177,6 +177,46 @@ class TestRoundTrips:
         with pytest.raises(ValueError, match="state version"):
             ckpt.load_state(path)
 
+    def test_pickle_save_replaces_stale_orbax_dir(self, tmp_path):
+        """ADVICE r4: a run that previously saved orbax directories and is
+        resumed where orbax is unavailable must not crash at its first
+        pickle save — the stale DIRECTORY at the state path is replaced."""
+        opt = make_optimizer(1e-3)
+        state = create(reconet.init_reconet_sd2(KEY), opt)
+        path = str(tmp_path / "last_state")
+        ckpt.save_state(state, path)  # orbax directory
+        assert os.path.isdir(path)
+        newer = state._replace(step=state.step + 5)
+        ckpt.save_state(newer, path, format="pickle")
+        assert os.path.isfile(path)
+        loaded = ckpt.load_state(path)
+        assert int(loaded.step) == int(state.step) + 5
+
+    def test_newer_pickle_beats_stale_new_dir(self, tmp_path):
+        """ADVICE r4: a crash-mid-swap ``.new`` directory must not shadow a
+        NEWER pickle-fallback file later written at the state path."""
+        opt = make_optimizer(1e-3)
+        state = create(reconet.init_reconet_sd2(KEY), opt)
+        path = str(tmp_path / "last_state")
+        # simulate the crash-mid-swap leftover: a complete orbax ckpt at .new
+        ckpt.save_state_orbax(state, path + ".new")
+        # ...then the run continued with the pickle fallback, 7 steps later
+        ckpt.save_state(state._replace(step=state.step + 7), path,
+                        format="pickle")
+        os.utime(path, (2_000_000_000, 2_000_000_000))  # decisively newer
+        like = create(reconet.init_reconet_sd2(jax.random.PRNGKey(4)), opt)
+        loaded = ckpt.load_state(path, like=like)
+        assert int(loaded.step) == int(state.step) + 7
+        # and the converse still prefers a NEWER .new (the original case)
+        ckpt.save_state_orbax(state._replace(step=state.step + 9),
+                              path + ".new")
+        for sub in ("", "/_CHECKPOINT_METADATA"):
+            if os.path.exists(path + ".new" + sub):
+                os.utime(path + ".new" + sub,
+                         (2_100_000_000, 2_100_000_000))
+        loaded = ckpt.load_state(path, like=like)
+        assert int(loaded.step) == int(state.step) + 9
+
     def test_pth_round_trip(self, tmp_path):
         params = reconet.init_reconet(KEY)
         path = str(tmp_path / "m.pth")
@@ -240,6 +280,30 @@ class TestOrbax:
         for k in state.params:
             np.testing.assert_array_equal(np.asarray(restored.params[k]),
                                           np.asarray(state.params[k]))
+
+    def test_wrong_sniff_recovers_via_retry(self, tmp_path, monkeypatch):
+        """ADVICE r4: the versioned-layout sniff reads orbax's PRIVATE
+        _METADATA format; if that layout ever changes, the sniff may guess
+        wrong — the loader must retry with the other template instead of
+        failing hard.  Force the sniff to lie both ways."""
+        import orbax.checkpoint as ocp
+
+        opt = make_optimizer(1e-3)
+        state = create(reconet.init_reconet_sd2(KEY), opt)
+        like = create(reconet.init_reconet_sd2(jax.random.PRNGKey(4)), opt)
+
+        bare = str(tmp_path / "bare")
+        with ocp.StandardCheckpointer() as c:
+            c.save(bare, jax.tree.map(np.asarray, state))
+        monkeypatch.setattr(ckpt, "_sniff_versioned", lambda p: True)
+        restored = ckpt.load_state(bare, like=like)
+        assert int(restored.step) == int(state.step)
+
+        wrapped = str(tmp_path / "wrapped")
+        ckpt.save_state_orbax(state, wrapped)
+        monkeypatch.setattr(ckpt, "_sniff_versioned", lambda p: False)
+        restored = ckpt.load_state(wrapped, like=like)
+        assert int(restored.step) == int(state.step)
 
     def test_round_trip(self, tmp_path):
         from vst_tpu.train.checkpoint import load_state_orbax, save_state_orbax

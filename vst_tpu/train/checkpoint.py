@@ -29,6 +29,19 @@ def _to_numpy_tree(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def _ckpt_mtime(path: str) -> float:
+    """Completion time of a checkpoint at ``path`` (file or orbax dir).
+
+    For a directory, the directory's own mtime reflects the atomic rename
+    that completed the save; a contained _CHECKPOINT_METADATA (written
+    last by orbax) is preferred when present.
+    """
+    meta = os.path.join(path, "_CHECKPOINT_METADATA")
+    if os.path.isfile(meta):
+        return os.path.getmtime(meta)
+    return os.path.getmtime(path)
+
+
 def save_params(params: dict, path: str) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path, **_to_numpy_tree(params))
@@ -79,6 +92,15 @@ def save_state(state: TrainState, path: str, *, format: str = "orbax") -> None:
         with open(tmp, "wb") as f:
             pickle.dump({"__vst_state_version__": STATE_VERSION,
                          "tree": _to_numpy_tree(state)}, f)
+        if os.path.isdir(path):
+            # an orbax checkpoint DIRECTORY from a previous run occupies
+            # the state path (run resumed in an env where orbax is now
+            # missing): os.replace(file, dir) raises, so clear it — only
+            # after the tmp write above has fully succeeded, keeping the
+            # no-checkpoint-ever-destroyed-before-its-replacement-exists
+            # invariant.  (ADVICE r4.)
+            import shutil
+            shutil.rmtree(path)
         os.replace(tmp, path)
     else:  # pragma: no cover
         raise ValueError(f"unknown checkpoint format {format!r}")
@@ -92,11 +114,16 @@ def load_state(path: str, like: TrainState | None = None) -> TrainState:
     either the versioned form or the raw pytree rounds ≤3 wrote.
     """
     # a completed-but-unswapped save (crash between write and swap in
-    # save_state_orbax) is newer than ``path`` itself — prefer it.  orbax
-    # only renames a directory into place once it is complete, so an
-    # existing ``.new`` directory is always a whole checkpoint.
-    if os.path.isdir(path + ".new"):
-        return load_state_orbax(path + ".new", like)
+    # save_state_orbax) is usually newer than ``path`` itself — prefer it.
+    # orbax only renames a directory into place once it is complete, so an
+    # existing ``.new`` directory is always a whole checkpoint.  But if the
+    # run later continued WITHOUT orbax (pickle fallback writing to
+    # ``path``), the stale ``.new`` would shadow newer saves — compare
+    # mtimes and take the newest (ADVICE r4).
+    new = path + ".new"
+    if os.path.isdir(new):
+        if not os.path.exists(path) or _ckpt_mtime(new) >= _ckpt_mtime(path):
+            return load_state_orbax(new, like)
     if os.path.isdir(path):
         return load_state_orbax(path, like)
     with open(path, "rb") as f:
@@ -204,6 +231,24 @@ def save_state_orbax(state: TrainState, path: str) -> None:
     os.replace(new, path)
 
 
+def _sniff_versioned(path: str) -> bool:
+    """Guess whether an orbax checkpoint carries the format_version wrapper.
+
+    Round-3 checkpoints are the bare tree, no wrapper: sniff the pytree
+    key list from orbax's _METADATA file.  This reads orbax's PRIVATE
+    metadata layout, so it is only a fast path — ``load_state_orbax``
+    retries with the other template on a structure mismatch (ADVICE r4).
+    """
+    try:
+        import json
+
+        with open(os.path.join(path, "_METADATA")) as f:
+            tree_keys = json.load(f)["tree_metadata"]
+        return any(k.startswith("('format_version'") for k in tree_keys)
+    except Exception:
+        return True
+
+
 def load_state_orbax(path: str, like: TrainState | None) -> TrainState:
     """Restore an orbax checkpoint; ``like`` supplies the tree structure
     (e.g. a freshly created TrainState)."""
@@ -214,28 +259,29 @@ def load_state_orbax(path: str, like: TrainState | None) -> TrainState:
             "orbax checkpoints restore against a template: pass "
             "like=<freshly created TrainState> to load_state")
     path = os.path.abspath(path)
-    # round-3 checkpoints are the bare tree, no version wrapper: sniff the
-    # pytree key list from orbax's _METADATA file to pick the template
-    try:
-        import json
+    versioned = _sniff_versioned(path)
 
-        with open(os.path.join(path, "_METADATA")) as f:
-            tree_keys = json.load(f)["tree_metadata"]
-        versioned = any(k.startswith("('format_version'") for k in tree_keys)
-    except Exception:
-        versioned = True
-    with ocp.StandardCheckpointer() as ckptr:
+    def _restore(ckptr, versioned):
         if versioned:
-            wrapped = ckptr.restore(
+            return ckptr.restore(
                 path, {"format_version": np.array(0, np.int32),
                        "state": _to_numpy_tree(like)})
-            v = int(wrapped["format_version"])
-            if v > STATE_VERSION:
-                raise ValueError(f"checkpoint {path} has state version {v}; "
-                                 f"this build reads ≤{STATE_VERSION}")
-            tree = wrapped["state"]
-        else:
-            tree = ckptr.restore(path, _to_numpy_tree(like))
+        return ckptr.restore(path, _to_numpy_tree(like))
+
+    with ocp.StandardCheckpointer() as ckptr:
+        try:
+            result = _restore(ckptr, versioned)
+        except Exception:
+            versioned = not versioned
+            result = _restore(ckptr, versioned)
+    if versioned:
+        v = int(result["format_version"])
+        if v > STATE_VERSION:
+            raise ValueError(f"checkpoint {path} has state version {v}; "
+                             f"this build reads ≤{STATE_VERSION}")
+        tree = result["state"]
+    else:
+        tree = result
     return jax.tree.map(jnp.asarray, tree)
 
 

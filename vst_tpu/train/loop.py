@@ -163,7 +163,17 @@ def run_training(
                         s, np.asarray(x), np.shape(x)),
                     host, shardings)
             return jax.device_put(host, shardings)
-        except Exception:
+        except (TypeError, ValueError) as e:
+            # expected placement failures only: a leaf snapshotted without
+            # a sharding (None) makes device_put/with-shardings raise.
+            # Multi-host, a sharding-less fallback would leave processes
+            # INCONSISTENT — fail loudly instead of continuing (ADVICE r4).
+            if jax.process_count() > 1:
+                raise
+            import warnings
+            warnings.warn(f"rollback restore lost the recorded shardings "
+                          f"({e}); continuing with default placement",
+                          stacklevel=2)
             return jax.tree.map(jnp.asarray, host)
 
     stop = {"sig": None}
