@@ -122,6 +122,64 @@ class TestSupervise:
                         heartbeat=str(hb), poll_interval=0.1, log=_quiet)
         assert (res.returncode, res.restarts, res.hangs) == (0, 0, 0)
 
+    @pytest.mark.slow
+    def test_frozen_step_with_advancing_mtime_is_a_hang(self, tmp_path):
+        """VERDICT r4 #5 (weak #6): a wedged device lease whose host-side
+        retries keep APPENDING to the metrics sink advances the file mtime
+        while the step counter is frozen — that must still be declared a
+        hang.  The restarted child advances its steps and completes."""
+        marker = tmp_path / "wedged_once"
+        hb = tmp_path / "metrics.jsonl"
+        cmd = _script(tmp_path, "wedge.py", f"""
+            import json, os, time
+            m = {str(marker)!r}
+            hb = {str(hb)!r}
+            if not os.path.exists(m):
+                open(m, "w").close()
+                for _ in range(200):  # mtime ticks, step frozen
+                    with open(hb, "a") as f:
+                        f.write(json.dumps({{"step": 7, "note": "retry"}})
+                                + "\\n")
+                    time.sleep(0.3)
+            else:
+                for s in range(8, 12):  # healthy: steps advance
+                    with open(hb, "a") as f:
+                        f.write(json.dumps({{"step": s}}) + "\\n")
+                    time.sleep(0.2)
+        """)
+        res = supervise(cmd, hang_timeout=8, grace=10, backoff=0,
+                        heartbeat=str(hb), poll_interval=0.1, log=_quiet)
+        assert (res.returncode, res.restarts, res.hangs) == (0, 1, 1)
+
+    def test_advancing_step_no_false_positive(self, tmp_path):
+        """A slow-but-progressing trainer whose jsonl steps keep advancing
+        is never restarted, even over several hang_timeout windows."""
+        hb = tmp_path / "metrics.jsonl"
+        hb.write_text('{"step": 1}\n')
+        cmd = _script(tmp_path, "progress.py", f"""
+            import json, time
+            for s in range(2, 18):
+                with open({str(hb)!r}, "a") as f:
+                    f.write(json.dumps({{"step": s}}) + "\\n")
+                time.sleep(0.3)
+        """)
+        res = supervise(cmd, hang_timeout=8.0, grace=5, backoff=0,
+                        heartbeat=str(hb), poll_interval=0.1, log=_quiet)
+        assert (res.returncode, res.restarts, res.hangs) == (0, 0, 0)
+
+    def test_tail_step_parsing(self, tmp_path):
+        from vst_tpu.train.supervisor import _tail_step
+
+        p = tmp_path / "m.jsonl"
+        assert _tail_step(str(p)) is None  # missing file
+        p.write_text("")  # plain touch file
+        assert _tail_step(str(p)) is None
+        p.write_text('{"step": 3}\nnot json\n{"epoch": 1}\n')
+        assert _tail_step(str(p)) == 3  # skips non-step tail lines
+        # torn head line (seek can land mid-record) is tolerated
+        p.write_text("x" * 20000 + '\n{"step": 11}\n')
+        assert _tail_step(str(p)) == 11
+
     def test_sigterm_forwarded_and_not_restarted(self, tmp_path):
         """SIGTERM to the supervisor: forwarded to the child, child's exit
         code returned, no restart — whole-group preemption behaves like
