@@ -112,6 +112,47 @@ class TestRealCheckpointEt:
         assert abs(ours - ref) <= TOL * max(abs(ref), 1e-9), (ours, ref)
 
 
+SD2_PTH = f"{RECONET_REF}/models_old/SD2_epoch_4_batchSize_2.pth"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(SD2_PTH),
+                    reason="reference SD2 checkpoint not mounted")
+class TestRealSD2TemporalMSE:
+    """The committed SD2 checkpoint through the FULL temporal-MSE metric
+    path — ``cli/experiments.py mse`` (decode → resize → stylize →
+    frame-delta MSE, ReCoNet/utilities.py:126-176) — on a deterministic
+    synthetic clip, pinned as a golden (VERDICT r4 #7).  Together with the
+    SD1 frame-exact e2e (test_reference_assets.py), BOTH committed real
+    artifacts now gate regressions on the metric pipeline, not just frame
+    equality."""
+
+    GOLDEN = 6652.0109  # pinned from this image's cv2/JAX CPU run
+
+    def test_cli_mse_on_synthetic_clip_matches_golden(self, tmp_path,
+                                                      capsys):
+        import cv2
+
+        rng = np.random.default_rng(1234)
+        # shifted smooth pattern at the CLI's fixed 640×360 eval size so
+        # the decode path's resize is the identity
+        w, h, n = 640, 360, 5
+        base = (rng.random((h, w + 2 * n, 3)) * 255).astype(np.uint8)
+        src = str(tmp_path / "clip.avi")
+        vw = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"MJPG"), 30,
+                             (w, h))
+        for i in range(n):
+            vw.write(base[:, 2 * i:2 * i + w])
+        vw.release()
+
+        from vst_tpu.cli import experiments
+
+        experiments.main(["mse", "--model", "sd2", "--weights", SD2_PTH,
+                          "--video", src, "--platform", "cpu"])
+        val = float(capsys.readouterr().out.strip().splitlines()[-1])
+        assert val == pytest.approx(self.GOLDEN, rel=1e-3), val
+
+
 def t_warp(x, flow):
     """Reference backward warp (ReCoNet/utilities.py:39-57):
     normalized grid + grid_sample(align_corners=False, zeros)."""
