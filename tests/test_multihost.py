@@ -377,3 +377,92 @@ class TestSupervisedMultihostRestart:
         assert any(f.endswith(".npz") for f in files)
         steps = [json.loads(line)["step"] for line in open(metrics)]
         assert steps == sorted(steps) and steps[-1] == 2
+
+
+@pytest.mark.slow
+class TestMultihostOverhead:
+    """Step-time parity of `--multihost` (2 proc × 4 dev) vs one process
+    with 8 devices on the virtual CPU mesh (VERDICT r4 #6): quantifies
+    what the multi-host abstraction itself costs (Gloo collectives +
+    cross-process batch assembly) before real pod time exists.  The
+    measured numbers are recorded in BENCH.md."""
+
+    def _steady_step_time(self, metrics_path, skip=3):
+        """Per-step seconds between logged batch `skip` and the last one.
+
+        The jsonl's samples_per_s is CUMULATIVE from epoch start, so
+        elapsed(i) = done_samples / rate; differencing two logged batches
+        cancels the compile time buried in the early batches.
+        """
+        rows = [json.loads(line) for line in open(metrics_path)]
+        assert len(rows) > skip + 3, "too few logged batches to difference"
+        a, b = rows[skip], rows[-1]
+        bs = 8
+
+        def elapsed(r):
+            return r["batch"] * bs / r["samples_per_s"]
+
+        return (elapsed(b) - elapsed(a)) / (b["batch"] - a["batch"])
+
+    def test_step_time_within_tolerance(self, tmp_path, rng):
+        root = str(tmp_path / "sceneflow")
+        _make_sceneflow_scene(os.path.join(root, "monkaa"), rng, 45,
+                              "monkaa")
+        _make_sceneflow_scene(os.path.join(root, "flyingthings3d"), rng, 45,
+                              "ft3d")
+        from PIL import Image
+
+        style = str(tmp_path / "style.png")
+        Image.fromarray(rng.integers(0, 255, (24, 32, 3),
+                                     dtype=np.uint8)).save(style)
+
+        common = ["--trainer", "rtnstv", "--data", root, "--style", style,
+                  "--epochs", "1", "--batch-size", "8",
+                  "--img-size", "24", "32", "--log-every", "1"]
+
+        def run(cmds, env):
+            procs = [subprocess.Popen(c, env=env, stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True)
+                     for c in cmds]
+            outs = [p.communicate(timeout=540)[0] for p in procs]
+            for p, out in zip(procs, outs):
+                assert p.returncode == 0, out[-3000:]
+
+        # single process, 8-device data parallelism
+        sm = str(tmp_path / "single_metrics.jsonl")
+        env8 = dict(os.environ, VST_PLATFORM="cpu", PYTHONPATH=REPO,
+                    XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        run([[sys.executable, "-m", "vst_tpu.cli.train"] + common + [
+            "--out-dir", str(tmp_path / "single"), "--data-parallel", "8",
+            "--metrics-jsonl", sm]], env8)
+
+        # 2 processes × 4 devices over the same 8-way global mesh
+        mm = str(tmp_path / "multi_metrics.jsonl")
+        port = _free_port()
+        env4 = dict(os.environ, VST_PLATFORM="cpu", PYTHONPATH=REPO,
+                    XLA_FLAGS="--xla_force_host_platform_device_count=4")
+        cmds = []
+        for pid in range(2):
+            cmd = [sys.executable, "-m", "vst_tpu.cli.train"] + common + [
+                "--out-dir", str(tmp_path / "multi"),
+                "--multihost", f"localhost:{port}",
+                "--num-processes", "2", "--process-id", str(pid)]
+            if pid == 0:
+                cmd += ["--metrics-jsonl", mm]
+            cmds.append(cmd)
+        run(cmds, env4)
+
+        t_single = self._steady_step_time(sm)
+        t_multi = self._steady_step_time(mm)
+        ratio = t_multi / t_single
+        print(f"\nmultihost overhead: single-proc 8-dev "
+              f"{t_single * 1e3:.1f} ms/step, 2-proc x 4-dev "
+              f"{t_multi * 1e3:.1f} ms/step, ratio {ratio:.2f}x")
+        # Tolerance: both programs run the same global batch on the same 8
+        # virtual devices; the multi-host run adds Gloo all-reduces and a
+        # SECOND OS process contending for this container's single core
+        # (nproc=1 — measured 2.6-2.7x, dominated by core contention, not
+        # the abstraction), so real overhead is expected here — but the
+        # abstraction must not serialize the step.  3.5x bounds pathology
+        # while staying robust to container noise.
+        assert ratio < 3.5, (t_single, t_multi)
