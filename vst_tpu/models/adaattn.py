@@ -137,6 +137,19 @@ def _attention_moments_cosine_exact(q, k, v, prec):
     return m1, m2
 
 
+# Per-shape (bq, bk, exp2) for the Pallas flash-moments kernel, keyed by
+# token count n (n == m on every AdaAttN level).  Filled from the round-5
+# on-chip sweep (tools/bench_adaattn_softmax.py; see BENCH.md "AdaAttN
+# softmax 512²").  Unlisted shapes use the kernel's defaults.
+_PALLAS_SOFTMAX_CONFIGS: dict[int, dict] = {}
+
+
+def _pallas_softmax_kwargs(n: int, m: int) -> dict:
+    if n == m and n in _PALLAS_SOFTMAX_CONFIGS:
+        return _PALLAS_SOFTMAX_CONFIGS[n]
+    return {}
+
+
 def attention_moments(q, k, v, activation: str, mode: str = "auto",
                       chunk: int = 1024, mesh=None, mesh_axis: str = "data"):
     """Dispatch on activation/mode.  Shapes: q (b,n,d), k (b,m,d), v (b,m,c).
@@ -170,7 +183,8 @@ def attention_moments(q, k, v, activation: str, mode: str = "auto",
         if mode == "pallas" and n * m > 1024 * 1024:
             from vst_tpu.kernels import softmax_attention_moments_pallas
 
-            return softmax_attention_moments_pallas(q, k, v)
+            return softmax_attention_moments_pallas(
+                q, k, v, **_pallas_softmax_kwargs(n, m))
         if mode == "pallas":
             # tiny maps: the exact formulation wins (one MXU matmul pair)
             # AND ~16 MB pallas-call outputs at this size trip XLA's
@@ -193,7 +207,8 @@ def attention_moments(q, k, v, activation: str, mode: str = "auto",
             # parity-precision mode — keeps the exact path.
             from vst_tpu.kernels import softmax_attention_moments_pallas
 
-            return softmax_attention_moments_pallas(q, k, v)
+            return softmax_attention_moments_pallas(
+                q, k, v, **_pallas_softmax_kwargs(n, m))
         if mode in ("exact", "train") or (mode == "auto"
                                           and n * m <= 4096 * 4096):
             return _attention_moments_softmax_exact(q, k, v, prec)
@@ -204,7 +219,8 @@ def attention_moments(q, k, v, activation: str, mode: str = "auto",
             # still materialize all n·m scores)
             from vst_tpu.kernels import softmax_attention_moments_pallas
 
-            return softmax_attention_moments_pallas(q, k, v)
+            return softmax_attention_moments_pallas(
+                q, k, v, **_pallas_softmax_kwargs(n, m))
         return _attention_moments_softmax_chunked(q, k, v, prec, chunk)
     raise ValueError(f"Unknown activation: {activation}")
 
