@@ -99,7 +99,7 @@ def _chain_fps(run_frames, batch, short=8, long=40, reps=3):
     return (long - short) * batch / max(t_long - t_short, 1e-9)
 
 
-def bench_reconet_512(family="reconet", batch=8):
+def bench_reconet_512(family="reconet", batch=8, fused_res=False):
     import jax
     import jax.numpy as jnp
 
@@ -109,6 +109,8 @@ def bench_reconet_512(family="reconet", batch=8):
             "sd2": reconet.init_reconet_sd2}[family]
     fwd = {"reconet": reconet.reconet, "sd1": reconet.reconet_sd1,
            "sd2": reconet.reconet_sd2}[family]
+    if fused_res:
+        fwd = functools.partial(fwd, fused_res=True)
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), init(0))
     h, w, batch = _dims(512, 512, batch)
 
@@ -132,6 +134,8 @@ def bench_reconet_512(family="reconet", batch=8):
         return (f"{family}_512p_b1_latency_ms", 1e3 / fps, "ms/frame",
                 (1e3 / fps) / (1e3 / 30.0))
     tag = "" if batch == 8 or _smoke() else f"_b{batch}"
+    if fused_res:
+        tag += "_fusedres"
     return (f"{family}_512p{tag}_stylized_fps_per_chip", fps, "frames/sec",
             fps / 30.0)
 
@@ -474,6 +478,7 @@ def bench_tunnel_link():
 PATHS = {
     "tunnel-link": bench_tunnel_link,
     "reconet-512": bench_reconet_512,
+    "reconet-512-fusedres": lambda: bench_reconet_512(fused_res=True),
     "reconet-512-b1": lambda: bench_reconet_512(batch=1),
     "reconet-512-b16": lambda: bench_reconet_512(batch=16),
     "reconet-512-b32": lambda: bench_reconet_512(batch=32),

@@ -226,6 +226,23 @@ class TestFusedResBlock:
         scale = np.abs(ref).max()
         assert np.abs(ours - ref).max() <= 0.02 * scale
 
+    def test_model_fused_res_wiring(self, rng):
+        """The fused_res serving route through the FULL model forward
+        (models/reconet.py::_res_stack, interpret mode off-TPU) matches
+        the plain composition — the wiring the on-chip A/B flips on
+        (VERDICT r4 #1c)."""
+        import jax.numpy as jnp
+
+        from vst_tpu.models import reconet
+
+        params = self._params()
+        x = jnp.asarray((rng.random((1, 16, 24, 3)) * 255)
+                        .astype(np.float32))
+        ref = reconet.reconet(params, x)[-1]
+        ours = reconet.reconet(params, x, fused_res=True)[-1]
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-3)
+
     def test_conv_stats_match_ops(self, rng):
         """The epilogue stats must equal instance-norm's mean/biased-var
         of the conv output."""

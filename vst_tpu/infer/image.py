@@ -37,14 +37,22 @@ def _finish(styled, uint8_out, wire="rgb"):
     return styled.astype(jnp.uint8) if uint8_out else styled
 
 
-@functools.partial(jax.jit, static_argnames=("family", "uint8_out", "wire"))
+@functools.partial(jax.jit, static_argnames=("family", "uint8_out", "wire",
+                                             "fused_res"))
 def stylize_reconet(params, x, family: str = "reconet",
-                    uint8_out: bool = False, wire: str = "rgb"):
+                    uint8_out: bool = False, wire: str = "rgb",
+                    fused_res: bool | None = None):
     """x: (N, H, W, 3·frames) 0–255 (any dtype, incl. uint8 — cast to the
     params' compute dtype on device, so hosts can ship raw uint8 frames)
-    → clamped styled frames (ReCoNet/utilities.py:217-219)."""
+    → clamped styled frames (ReCoNet/utilities.py:217-219).
+
+    ``fused_res``: force the fused res-stack kernel on/off; None consults
+    the serving gate (models/reconet.py::fused_res_serving)."""
     x = x.astype(_compute_dtype(params))
-    return _finish(RECONET_FORWARD[family](params, x)[-1], uint8_out, wire)
+    if fused_res is None:
+        fused_res = reconet_m.fused_res_serving(x.dtype)
+    styled = RECONET_FORWARD[family](params, x, fused_res=fused_res)[-1]
+    return _finish(styled, uint8_out, wire)
 
 
 @functools.partial(jax.jit, static_argnames=("uint8_out", "wire"))

@@ -94,6 +94,32 @@ def residual_block(params, name, x, k=3):
     return out + x
 
 
+# Serving-path gate for the fused conv+IN-stats res-block kernel
+# (kernels/res_block.py).  OFF until its on-chip A/B
+# (tools/bench_res_block.py) wins — the kernel is inference-only (no VJP),
+# so training paths never route here regardless; see BENCH.md.
+FUSED_RES_SERVING = False
+
+
+def fused_res_serving(dtype) -> bool:
+    return (FUSED_RES_SERVING and dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu")
+
+
+def _res_stack(params, x, names, fused):
+    if fused:
+        from vst_tpu.kernels.res_block import residual_block_fused
+
+        # off-TPU (tests, smoke benches) the kernel only runs interpreted
+        interpret = jax.default_backend() != "tpu"
+        for nm in names:
+            x = residual_block_fused(params, nm, x, interpret=interpret)
+        return x
+    for nm in names:
+        x = residual_block(params, nm, x)
+    return x
+
+
 # ------------------------------------------------------------- param init
 
 def _conv_block(key, name, in_ch, out_ch, k, with_norm=True):
@@ -171,13 +197,16 @@ def init_reconet_sd2(key, input_frame_num: int = 1):
 
 # ---------------------------------------------------------------- forward
 
-def reconet(params, x):
-    """ReCoNet forward.  x: (N, H, W, 3·input_frame_num), 0–255 RGB."""
+def reconet(params, x, fused_res=False):
+    """ReCoNet forward.  x: (N, H, W, 3·input_frame_num), 0–255 RGB.
+
+    ``fused_res``: route the res stack through the fused conv+IN-stats
+    Pallas kernel (inference only — no VJP; serving paths gate on
+    ``fused_res_serving``)."""
     x = conv_inst_relu(params, "conv1", x, 9, 1)
     x = conv_inst_relu(params, "conv2", x, 3, 2)
     x = conv_inst_relu(params, "conv3", x, 3, 2)
-    for i in range(1, 6):
-        x = residual_block(params, f"res{i}", x)
+    x = _res_stack(params, x, [f"res{i}" for i in range(1, 6)], fused_res)
     features = x
     x = upsample_conv_inst_relu(params, "deconv1", x, 3, 2)
     sd1 = x
@@ -186,13 +215,13 @@ def reconet(params, x):
     return sd1, features, x
 
 
-def reconet_sd1(params, x):
+def reconet_sd1(params, x, fused_res=False):
     x = conv_inst_relu(params, "conv1", x, 9, 1)
     x = conv_inst_relu(params, "conv2", x, 3, 2)
     x = conv_inst_relu(params, "conv3_sd", x, 3, 2)
     sd2 = x
-    for i in range(1, 6):
-        x = residual_block(params, f"res{i}_sd", x)
+    x = _res_stack(params, x, [f"res{i}_sd" for i in range(1, 6)],
+                   fused_res)
     features = x
     x = upsample_conv_inst_relu(params, "deconv1_sd", x, 3, 2)
     sd = x
@@ -201,13 +230,13 @@ def reconet_sd1(params, x):
     return sd2, sd, features, x
 
 
-def reconet_sd2(params, x):
+def reconet_sd2(params, x, fused_res=False):
     x = conv_inst_relu(params, "conv1_sd2", x, 9, 1)
     x = conv_inst_relu(params, "conv2_sd2", x, 3, 2)
     x = conv_inst_relu(params, "conv3_sd2", x, 3, 2)
     sd = x
-    for i in range(1, 6):
-        x = residual_block(params, f"res{i}_sd", x)
+    x = _res_stack(params, x, [f"res{i}_sd" for i in range(1, 6)],
+                   fused_res)
     features = x
     x = upsample_conv_inst_relu(params, "deconv1_sd2", x, 3, 2)
     x = upsample_conv_inst_relu(params, "deconv2_sd2", x, 3, 2)
