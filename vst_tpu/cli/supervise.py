@@ -18,6 +18,9 @@ The heartbeat defaults to the child's ``--heartbeat-file`` (touched at
 every batch on every process) or, failing that, its ``--metrics-jsonl``
 file; pair ``--hang-timeout`` with a cadence small enough that the file
 advances every few steps, and leave headroom for the first compile.
+When the heartbeat is a metrics jsonl, liveness is the ``"step"`` counter
+in its tail, not the file mtime — a wedged device lease whose host-side
+retries keep appending log lines is still detected as a hang.
 
 Multi-host recipe (``--multihost`` children): run ONE supervisor per host,
 each watching a per-host ``--heartbeat-file``::
