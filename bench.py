@@ -114,7 +114,14 @@ def bench_reconet_512(family="reconet", batch=8, fused_res=False):
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), init(0))
     h, w, batch = _dims(512, 512, batch)
 
-    @functools.partial(jax.jit, static_argnums=(2,))
+    # the fused res-block pallas outputs trip XLA's 16 MB output-in-VMEM
+    # stack allocation at the b8 serving shape (16.63M measured) — same
+    # carve-out as the f32 train steps (train/steps.py::_train_jit)
+    opts = None
+    if fused_res and jax.default_backend() == "tpu":
+        opts = {"xla_tpu_scoped_vmem_limit_kib": "24576"}
+
+    @functools.partial(jax.jit, static_argnums=(2,), compiler_options=opts)
     def run(params, x, n_steps):
         def body(carry, i):
             xi = x + i.astype(jnp.bfloat16)
@@ -233,13 +240,22 @@ def _bench_reconet_train(bf16):
     # inference paths: the axon tunnel's per-call dispatch latency
     # (~seconds) would otherwise dominate the per-step time.  Perturb the
     # batch per step so XLA cannot hoist anything.
-    @functools.partial(jax.jit, static_argnums=(2,))
+    #
+    # Same top-level-jit dance as _bench_adaattn_train: compiler_options
+    # may only appear on a TOP-LEVEL jit, so call the step's raw function
+    # inside the scan and repeat the f32 scoped-VMEM carve-out here.
+    opts = None
+    if not bf16 and jax.default_backend() == "tpu":
+        opts = {"xla_tpu_scoped_vmem_limit_kib": "24576"}
+    step_fn = getattr(step, "__wrapped__", step)
+
+    @functools.partial(jax.jit, static_argnums=(2,), compiler_options=opts)
     def run_steps(state, data, n_steps):
         img1, img2, flow, mask = data
 
         def body(state, i):
             d = (img1 + i.astype(jnp.float32), img2, flow, mask)
-            state, m = step(state, d)
+            state, m = step_fn(state, d)
             return state, m["loss"]
 
         state, losses = jax.lax.scan(

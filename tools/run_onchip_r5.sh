@@ -6,7 +6,8 @@
 # without, so an early backend outage still captures them.
 set -u
 cd /root/repo
-export PYTHONPATH=/root/.axon_site
+# keep the axon plugin registered AND the repo importable for tools/
+export PYTHONPATH=/root/.axon_site:/root/repo
 OUT=${OUT:-/tmp/onchip_r5}
 mkdir -p "$OUT"
 
