@@ -52,8 +52,16 @@ def main():
                                      chunk_rows=args.chunk_rows)
         return v
 
+    # the kernel's (y, stats) outputs trip XLA's 16 MB output-in-VMEM stack
+    # allocation at the b8 serving shape (16.63M measured) — same carve-out
+    # as the serving A/B (bench.py::bench_reconet_512 fused_res)
+    opts = None
+    if jax.default_backend() == "tpu":
+        opts = {"xla_tpu_scoped_vmem_limit_kib": "24576"}
+
     def chain(fn):
-        @functools.partial(jax.jit, static_argnums=(2,))
+        @functools.partial(jax.jit, static_argnums=(2,),
+                           compiler_options=opts)
         def run(params, x, n):
             def body(carry, i):
                 out = fn(params, x + i.astype(x.dtype))
@@ -83,7 +91,8 @@ def main():
               f"{args.dtype} b{b} {r}x{r})")
         # sanity: outputs agree
     a = np.asarray(jax.jit(stack_xla)(params, x).astype(jnp.float32))
-    c = np.asarray(jax.jit(stack_fused)(params, x).astype(jnp.float32))
+    c = np.asarray(jax.jit(stack_fused, compiler_options=opts)(
+        params, x).astype(jnp.float32))
     d = np.abs(a - c).max() / max(np.abs(a).max(), 1e-9)
     print(f"parity rel max diff: {d:.4g}")
 
