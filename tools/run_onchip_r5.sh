@@ -37,6 +37,7 @@ run adaattn-softmax-512 2400 python bench.py --path adaattn-softmax-512 --no-ret
 # (e) I420 streaming e2e + the renamed link ceiling
 run tunnel-link        1200 python bench.py --path tunnel-link --no-retry
 run pipeline-stream    2400 python bench.py --path pipeline-stream --no-retry
+run pipeline-stream-240 2400 python bench.py --path pipeline-stream-240 --no-retry
 # (f) remat HBM deltas
 run remat              2400 python tools/measure_remat.py
 # batch-scaling A/B shipped round 5 without numbers
