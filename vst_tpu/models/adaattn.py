@@ -138,10 +138,19 @@ def _attention_moments_cosine_exact(q, k, v, prec):
 
 
 # Per-shape (bq, bk, exp2) for the Pallas flash-moments kernel, keyed by
-# token count n (n == m on every AdaAttN level).  Filled from the round-5
-# on-chip sweep (tools/bench_adaattn_softmax.py; see BENCH.md "AdaAttN
-# softmax 512²").  Unlisted shapes use the kernel's defaults.
-_PALLAS_SOFTMAX_CONFIGS: dict[int, dict] = {}
+# token count n (n == m on every AdaAttN level).  Round-5 on-chip sweep
+# (tools/bench_adaattn_softmax.py, full (bq, bk) × {exp, exp2} grid at
+# the 512²-serving level shapes; BENCH.md "AdaAttN softmax 512²"):
+#   relu3_1 (n=16384): (1024, 1024) 6.25 ms vs (1024, 512) default 6.32
+#   relu4_1 (n=4096):  (1024, 1024) 0.72 ms vs 0.75
+#   exp2=True is a measured tie-to-loss at every shape (6.29 / 0.78 ms
+#   best) — XLA:TPU already lowers exp through exp2, so the base-2
+#   rewrite saves nothing; kept as a kernel option, never routed.
+# relu5_1 (n=1024) routes to the exact path (below the kernel threshold).
+_PALLAS_SOFTMAX_CONFIGS: dict[int, dict] = {
+    16384: {"bq": 1024, "bk": 1024},
+    4096: {"bq": 1024, "bk": 1024},
+}
 
 
 def _pallas_softmax_kwargs(n: int, m: int) -> dict:
