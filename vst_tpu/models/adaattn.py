@@ -153,8 +153,10 @@ _PALLAS_SOFTMAX_CONFIGS: dict[int, dict] = {
 }
 
 
-def _pallas_softmax_kwargs(n: int, m: int) -> dict:
-    if n == m and n in _PALLAS_SOFTMAX_CONFIGS:
+def _pallas_softmax_kwargs(n: int, m: int, train: bool = False) -> dict:
+    # the sweep timed the FORWARD kernel only; the train path's flash-VJP
+    # backward is unswept, so training keeps the kernel defaults
+    if not train and n == m and n in _PALLAS_SOFTMAX_CONFIGS:
         return _PALLAS_SOFTMAX_CONFIGS[n]
     return {}
 
@@ -217,7 +219,7 @@ def attention_moments(q, k, v, activation: str, mode: str = "auto",
             from vst_tpu.kernels import softmax_attention_moments_pallas
 
             return softmax_attention_moments_pallas(
-                q, k, v, **_pallas_softmax_kwargs(n, m))
+                q, k, v, **_pallas_softmax_kwargs(n, m, train=True))
         if mode in ("exact", "train") or (mode == "auto"
                                           and n * m <= 4096 * 4096):
             return _attention_moments_softmax_exact(q, k, v, prec)
